@@ -1,0 +1,283 @@
+"""Frame encoder core: wavefront intra coding on TPU.
+
+Architecture (TPU-first, not a port — SURVEY.md §7):
+  * The frame is an MB grid. Intra prediction depends on reconstructed left/top
+    neighbors, so MBs on the same anti-diagonal are independent: the encoder
+    runs a `lax.scan` over wavefront diagonals, vectorizing every MB in a wave
+    through batched prediction/transform/quant ops (ops/intra.py,
+    ops/transform.py). All shapes are static; wave membership is a
+    per-geometry constant gathered with dynamic_slice.
+  * The scan produces per-MB symbol arrays (modes, quantized levels, CBPs) and
+    the reconstructed planes. Entropy coding consumes the arrays on the host
+    (Python oracle now, native C++ packer on the hot path).
+
+The reference delegates all of this to OpenH264/NETINT hardware
+(VideoEncoderOpenH264.cpp:344 EncodeFrame); here it is first-party compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import intra as intra_ops
+from ..ops import transform as T
+
+# z-scan order of 4x4 luma blocks within an MB -> raster index (by*4+bx)
+ZSCAN_TO_RASTER = np.array(
+    [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15], dtype=np.int32
+)
+
+
+def _wave_indices(n_rows: int, n_cols: int):
+    """Static wavefront membership: returns (n_waves, max_wave) row/col index
+    arrays and a validity mask. Wave k holds all MBs with r + c == k."""
+    n_waves = n_rows + n_cols - 1
+    max_wave = min(n_rows, n_cols)
+    rows = np.zeros((n_waves, max_wave), dtype=np.int32)
+    cols = np.zeros((n_waves, max_wave), dtype=np.int32)
+    mask = np.zeros((n_waves, max_wave), dtype=bool)
+    for k in range(n_waves):
+        i = 0
+        for r in range(max(0, k - n_cols + 1), min(n_rows, k + 1)):
+            rows[k, i] = r
+            cols[k, i] = k - r
+            mask[k, i] = True
+            i += 1
+    return rows, cols, mask
+
+
+def _mb_blocks(mb):
+    """(N, 16, 16) -> (N, 16, 4, 4): raster-ordered 4x4 blocks."""
+    n = mb.shape[0]
+    return (
+        mb.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 4, 4)
+    )
+
+
+def _blocks_mb(blocks):
+    """(N, 16, 4, 4) -> (N, 16, 16)."""
+    n = blocks.shape[0]
+    return (
+        blocks.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    )
+
+
+def _mb_blocks8(mb):
+    """(N, 8, 8) -> (N, 4, 4, 4): raster-ordered 4x4 blocks of an 8x8."""
+    n = mb.shape[0]
+    return mb.reshape(n, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(n, 4, 4, 4)
+
+
+def _blocks8_mb(blocks):
+    n = blocks.shape[0]
+    return blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+
+
+@dataclass
+class IFrameResult:
+    """Per-MB symbol arrays (numpy, host) + reconstruction."""
+
+    mode16: np.ndarray  # (R, C) intra16x16 pred mode
+    chroma_mode: np.ndarray  # (R, C) chroma pred mode
+    dc_levels: np.ndarray  # (R, C, 16) luma DC, zig-zag order
+    ac_levels: np.ndarray  # (R, C, 16, 15) luma AC per raster 4x4 blk, zig-zag
+    cdc_levels: np.ndarray  # (R, C, 2, 4) chroma DC (u,v), raster scan
+    cac_levels: np.ndarray  # (R, C, 2, 4, 15) chroma AC per raster 4x4 blk
+    recon_y: np.ndarray  # (R*16, C*16) uint8
+    recon_u: np.ndarray  # (R*8, C*8) uint8
+    recon_v: np.ndarray  # (R*8, C*8) uint8
+
+
+class FrameEncoder:
+    """Holds per-geometry constants and the jitted frame encode functions."""
+
+    def __init__(self, width: int, height: int):
+        if width % 16 or height % 16:
+            raise ValueError("FrameEncoder operates on MB-padded planes")
+        self.width = width
+        self.height = height
+        self.n_cols = width // 16
+        self.n_rows = height // 16
+        rows, cols, mask = _wave_indices(self.n_rows, self.n_cols)
+        self._waves = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(mask))
+        self._encode_i = self._encode_iframe_device  # jitted via decorator
+
+    # ------------------------------------------------------------------ intra
+
+    def encode_iframe(self, y, u, v, qp: int) -> IFrameResult:
+        """Encode one intra frame. y: (H, W), u/v: (H/2, W/2) uint8 arrays."""
+        qp_c = int(T.chroma_qp(qp))
+        out = self._encode_i(
+            jnp.asarray(y, jnp.int32),
+            jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32),
+            jnp.int32(qp),
+            jnp.int32(qp_c),
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return IFrameResult(
+            mode16=out["mode16"],
+            chroma_mode=out["chroma_mode"],
+            dc_levels=out["dc_levels"],
+            ac_levels=out["ac_levels"],
+            cdc_levels=out["cdc_levels"],
+            cac_levels=out["cac_levels"],
+            recon_y=out["recon_y"].astype(np.uint8),
+            recon_u=out["recon_u"].astype(np.uint8),
+            recon_v=out["recon_v"].astype(np.uint8),
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_iframe_device(self, y, u, v, qp, qp_c):
+        R, C = self.n_rows, self.n_cols
+        rows, cols, mask = self._waves
+        n_waves, max_wave = rows.shape
+
+        # MB-granular original planes.
+        orig_y = y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3)  # (R, C, 16, 16)
+        orig_u = u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+        orig_v = v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+
+        state = {
+            "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
+            "recon_u": jnp.zeros((R, C, 8, 8), jnp.int32),
+            "recon_v": jnp.zeros((R, C, 8, 8), jnp.int32),
+            "mode16": jnp.zeros((R, C), jnp.int32),
+            "chroma_mode": jnp.zeros((R, C), jnp.int32),
+            "dc_levels": jnp.zeros((R, C, 16), jnp.int32),
+            "ac_levels": jnp.zeros((R, C, 16, 15), jnp.int32),
+            "cdc_levels": jnp.zeros((R, C, 2, 4), jnp.int32),
+            "cac_levels": jnp.zeros((R, C, 2, 4, 15), jnp.int32),
+        }
+
+        def wave_step(state, wave_idx):
+            r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
+            c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
+            valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
+
+            avail_top = (r > 0) & valid
+            avail_left = (c > 0) & valid
+            rm1 = jnp.maximum(r - 1, 0)
+            cm1 = jnp.maximum(c - 1, 0)
+
+            # ---- luma ----
+            ry = state["recon_y"]
+            top = ry[rm1, c, 15, :]  # (N, 16)
+            left = ry[r, cm1, :, 15]
+            top_left = ry[rm1, cm1, 15, 15]
+            o = orig_y[r, c]  # (N, 16, 16)
+
+            preds = intra_ops.pred_16x16_all(top, left, top_left, avail_top, avail_left)
+            cost = intra_ops.sad_cost(preds, o)
+            mode_ok = intra_ops.mode_available_16x16(avail_top, avail_left)
+            cost = jnp.where(mode_ok, cost, jnp.int32(1 << 30))
+            mode = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+            pred = jnp.take_along_axis(preds, mode[:, None, None, None], axis=1)[:, 0]
+
+            res = _mb_blocks(o - pred)  # (N, 16, 4, 4)
+            w = T.forward_4x4(res)
+            # DC path
+            dc = w[:, :, 0, 0].reshape(-1, 4, 4)
+            wd = T.hadamard_4x4(dc)
+            z_dc = T.quant_dc_4x4(wd, qp)
+            f_dc = T.hadamard_4x4(z_dc)  # decoder-side inverse hadamard
+            d_dc = T.dequant_dc_4x4(f_dc, qp)
+            # AC path
+            z_ac = T.quant_4x4(w, qp, intra=True)
+            z_ac = z_ac.at[:, :, 0, 0].set(0)
+            d = T.dequant_4x4(z_ac, qp)
+            d = d.at[:, :, 0, 0].set(d_dc.reshape(-1, 16))
+            recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(d)), 0, 255)
+
+            # ---- chroma (joint mode decision over U+V) ----
+            cu_top = state["recon_u"][rm1, c, 7, :]
+            cu_left = state["recon_u"][r, cm1, :, 7]
+            cu_tl = state["recon_u"][rm1, cm1, 7, 7]
+            cv_top = state["recon_v"][rm1, c, 7, :]
+            cv_left = state["recon_v"][r, cm1, :, 7]
+            cv_tl = state["recon_v"][rm1, cm1, 7, 7]
+            ou = orig_u[r, c]
+            ov = orig_v[r, c]
+
+            preds_u = intra_ops.pred_chroma_all(cu_top, cu_left, cu_tl, avail_top, avail_left)
+            preds_v = intra_ops.pred_chroma_all(cv_top, cv_left, cv_tl, avail_top, avail_left)
+            ccost = intra_ops.sad_cost(preds_u, ou) + intra_ops.sad_cost(preds_v, ov)
+            cmode_ok = intra_ops.mode_available_chroma(avail_top, avail_left)
+            ccost = jnp.where(cmode_ok, ccost, jnp.int32(1 << 30))
+            cmode = jnp.argmin(ccost, axis=-1).astype(jnp.int32)
+            pred_u = jnp.take_along_axis(preds_u, cmode[:, None, None, None], axis=1)[:, 0]
+            pred_v = jnp.take_along_axis(preds_v, cmode[:, None, None, None], axis=1)[:, 0]
+
+            def chroma_code(o_c, pred_c):
+                res_c = _mb_blocks8(o_c - pred_c)  # (N, 4, 4, 4)
+                w_c = T.forward_4x4(res_c)
+                dc2 = w_c[:, :, 0, 0].reshape(-1, 2, 2)
+                wd2 = T.hadamard_2x2(dc2)
+                z2 = T.quant_dc_2x2(wd2, qp_c, intra=True)
+                f2 = T.hadamard_2x2(z2)
+                d2 = T.dequant_dc_2x2(f2, qp_c)
+                z_cac = T.quant_4x4(w_c, qp_c, intra=True)
+                z_cac = z_cac.at[:, :, 0, 0].set(0)
+                d_c = T.dequant_4x4(z_cac, qp_c)
+                d_c = d_c.at[:, :, 0, 0].set(d2.reshape(-1, 4))
+                recon_c = jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
+                return z2.reshape(-1, 4), z_cac, recon_c
+
+            zdc_u, zac_u, recon_u = chroma_code(ou, pred_u)
+            zdc_v, zac_v, recon_v = chroma_code(ov, pred_v)
+
+            # ---- scatter (masked: invalid lanes write to (0,0) then revert) --
+            def scatter(dst, val, old_at_rc):
+                val = jnp.where(
+                    valid.reshape(valid.shape + (1,) * (val.ndim - 1)), val, old_at_rc
+                )
+                return dst.at[r, c].set(val, mode="drop")
+
+            new_state = dict(state)
+            new_state["recon_y"] = scatter(state["recon_y"], recon, state["recon_y"][r, c])
+            new_state["recon_u"] = scatter(state["recon_u"], recon_u, state["recon_u"][r, c])
+            new_state["recon_v"] = scatter(state["recon_v"], recon_v, state["recon_v"][r, c])
+            new_state["mode16"] = scatter(state["mode16"], mode, state["mode16"][r, c])
+            new_state["chroma_mode"] = scatter(state["chroma_mode"], cmode, state["chroma_mode"][r, c])
+            new_state["dc_levels"] = scatter(
+                state["dc_levels"], T.zigzag(z_dc), state["dc_levels"][r, c]
+            )
+            new_state["ac_levels"] = scatter(
+                state["ac_levels"], T.zigzag(z_ac)[..., 1:], state["ac_levels"][r, c]
+            )
+            new_state["cdc_levels"] = scatter(
+                state["cdc_levels"],
+                jnp.stack([zdc_u, zdc_v], axis=1),
+                state["cdc_levels"][r, c],
+            )
+            new_state["cac_levels"] = scatter(
+                state["cac_levels"],
+                jnp.stack([T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1),
+                state["cac_levels"][r, c],
+            )
+            return new_state, None
+
+        state, _ = jax.lax.scan(wave_step, state, jnp.arange(n_waves))
+
+        out = {
+            k: state[k]
+            for k in (
+                "mode16", "chroma_mode", "dc_levels", "ac_levels",
+                "cdc_levels", "cac_levels",
+            )
+        }
+        out["recon_y"] = (
+            state["recon_y"].transpose(0, 2, 1, 3).reshape(self.height, self.width)
+        )
+        out["recon_u"] = (
+            state["recon_u"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+        )
+        out["recon_v"] = (
+            state["recon_v"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+        )
+        return out

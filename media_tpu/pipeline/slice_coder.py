@@ -1,0 +1,201 @@
+"""Slice-layer entropy coding: per-MB symbol arrays <-> slice RBSP (CAVLC).
+
+This is the host-side stage that consumes the TPU encoder's symbol arrays
+(pipeline/encoder.py) and emits the bitstream, and its inverse for decode.
+Python is the oracle implementation; the native C++ packer (csrc/) mirrors it
+on the hot path.
+
+Covers I slices with I_16x16 macroblocks and P slices with P_L0_16x16 /
+P_Skip (spec 7.3.5, 7.4.5, 9.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.bitstream import BitReader, BitWriter
+from ..core.syntax import PPS, SPS, SliceHeader
+from ..entropy import cavlc
+from ..entropy import cavlc_tables as tables
+from .encoder import ZSCAN_TO_RASTER
+
+
+def _nc_luma(nnz: np.ndarray, by: int, bx: int) -> int:
+    """nC for luma 4x4 block at global block coords (by, bx) (spec 9.2.1)."""
+    avail_a = bx > 0
+    avail_b = by > 0
+    if avail_a and avail_b:
+        return (int(nnz[by, bx - 1]) + int(nnz[by - 1, bx]) + 1) >> 1
+    if avail_a:
+        return int(nnz[by, bx - 1])
+    if avail_b:
+        return int(nnz[by - 1, bx])
+    return 0
+
+
+class _MbGridCoder:
+    """Shared nC bookkeeping for encode and decode walks."""
+
+    def __init__(self, n_rows: int, n_cols: int):
+        self.luma_nnz = np.zeros((n_rows * 4, n_cols * 4), dtype=np.int32)
+        self.chroma_nnz = np.zeros((2, n_rows * 2, n_cols * 2), dtype=np.int32)
+
+
+def write_islice_mbs(
+    bw: BitWriter,
+    *,
+    mode16: np.ndarray,
+    chroma_mode: np.ndarray,
+    dc_levels: np.ndarray,
+    ac_levels: np.ndarray,
+    cdc_levels: np.ndarray,
+    cac_levels: np.ndarray,
+) -> None:
+    """Write all macroblocks of an I slice (I_16x16 only)."""
+    n_rows, n_cols = mode16.shape
+    st = _MbGridCoder(n_rows, n_cols)
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cbp_luma = 15 if np.any(ac_levels[r, c]) else 0
+            if np.any(cac_levels[r, c]):
+                cbp_chroma = 2
+            elif np.any(cdc_levels[r, c]):
+                cbp_chroma = 1
+            else:
+                cbp_chroma = 0
+
+            mb_type = (
+                1 + int(mode16[r, c]) + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+            )
+            bw.ue(mb_type)
+            bw.ue(int(chroma_mode[r, c]))
+            bw.se(0)  # mb_qp_delta (fixed-QP slice)
+            _write_mb_residual_i16(
+                bw, st, r, c,
+                dc_levels[r, c], ac_levels[r, c], cbp_luma,
+                cdc_levels[r, c], cac_levels[r, c], cbp_chroma,
+            )
+
+
+def _write_mb_residual_i16(bw, st, r, c, dc, ac, cbp_luma, cdc, cac, cbp_chroma):
+    # Luma DC: nC as for 4x4 block 0.
+    n_c = _nc_luma(st.luma_nnz, r * 4, c * 4)
+    cavlc.encode_block(bw, dc.tolist(), n_c)
+    # Luma AC in z-scan block order.
+    if cbp_luma:
+        new_nnz = np.zeros(16, dtype=np.int32)
+        for zi in range(16):
+            bi = int(ZSCAN_TO_RASTER[zi])
+            by, bx = r * 4 + bi // 4, c * 4 + bi % 4
+            n_c = _nc_luma(st.luma_nnz, by, bx)
+            tc = cavlc.encode_block(bw, ac[bi].tolist(), n_c)
+            # Record immediately: later blocks in this MB see earlier ones.
+            st.luma_nnz[by, bx] = tc
+            new_nnz[bi] = tc
+    else:
+        for bi in range(16):
+            st.luma_nnz[r * 4 + bi // 4, c * 4 + bi % 4] = 0
+    _write_chroma_residual(bw, st, r, c, cdc, cac, cbp_chroma)
+
+
+def _write_chroma_residual(bw, st, r, c, cdc, cac, cbp_chroma):
+    if cbp_chroma:
+        for comp in range(2):
+            cavlc.encode_block(bw, cdc[comp].tolist(), -1)
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for bi in range(4):
+                by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                n_c = _nc_chroma(st.chroma_nnz[comp], by, bx)
+                tc = cavlc.encode_block(bw, cac[comp, bi].tolist(), n_c)
+                st.chroma_nnz[comp, by, bx] = tc
+    else:
+        for comp in range(2):
+            st.chroma_nnz[comp, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+
+
+def _nc_chroma(nnz: np.ndarray, by: int, bx: int) -> int:
+    avail_a = bx > 0
+    avail_b = by > 0
+    if avail_a and avail_b:
+        return (int(nnz[by, bx - 1]) + int(nnz[by - 1, bx]) + 1) >> 1
+    if avail_a:
+        return int(nnz[by, bx - 1])
+    if avail_b:
+        return int(nnz[by - 1, bx])
+    return 0
+
+
+@dataclass
+class ParsedISlice:
+    mode16: np.ndarray
+    chroma_mode: np.ndarray
+    dc_levels: np.ndarray
+    ac_levels: np.ndarray
+    cdc_levels: np.ndarray
+    cac_levels: np.ndarray
+    qp: int
+
+
+def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> ParsedISlice:
+    """Parse all MBs of an I slice written by write_islice_mbs."""
+    st = _MbGridCoder(n_rows, n_cols)
+    mode16 = np.zeros((n_rows, n_cols), np.int32)
+    chroma_mode = np.zeros((n_rows, n_cols), np.int32)
+    dc_levels = np.zeros((n_rows, n_cols, 16), np.int32)
+    ac_levels = np.zeros((n_rows, n_cols, 16, 15), np.int32)
+    cdc_levels = np.zeros((n_rows, n_cols, 2, 4), np.int32)
+    cac_levels = np.zeros((n_rows, n_cols, 2, 4, 15), np.int32)
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            mb_type = br.ue()
+            if not 1 <= mb_type <= 24:
+                raise NotImplementedError(f"I-slice mb_type {mb_type} unsupported")
+            mt = mb_type - 1
+            mode16[r, c] = mt % 4
+            cbp_chroma = (mt // 4) % 3
+            cbp_luma = 15 if mt >= 12 else 0
+            chroma_mode[r, c] = br.ue()
+            qp_delta = br.se()
+            if qp_delta:
+                raise NotImplementedError("per-MB QP changes not yet supported")
+            # Luma DC
+            n_c = _nc_luma(st.luma_nnz, r * 4, c * 4)
+            coeffs, _tc = cavlc.decode_block(br, n_c, 16)
+            dc_levels[r, c] = coeffs
+            # Luma AC
+            if cbp_luma:
+                for zi in range(16):
+                    bi = int(ZSCAN_TO_RASTER[zi])
+                    by, bx = r * 4 + bi // 4, c * 4 + bi % 4
+                    n_c = _nc_luma(st.luma_nnz, by, bx)
+                    coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                    ac_levels[r, c, bi] = coeffs
+                    st.luma_nnz[by, bx] = tc
+            # Chroma
+            if cbp_chroma:
+                for comp in range(2):
+                    coeffs, _ = cavlc.decode_block(br, -1, 4)
+                    cdc_levels[r, c, comp] = coeffs
+            if cbp_chroma == 2:
+                for comp in range(2):
+                    for bi in range(4):
+                        by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                        n_c = _nc_chroma(st.chroma_nnz[comp], by, bx)
+                        coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                        cac_levels[r, c, comp, bi] = coeffs
+                        st.chroma_nnz[comp, by, bx] = tc
+
+    return ParsedISlice(
+        mode16=mode16,
+        chroma_mode=chroma_mode,
+        dc_levels=dc_levels,
+        ac_levels=ac_levels,
+        cdc_levels=cdc_levels,
+        cac_levels=cac_levels,
+        qp=qp,
+    )

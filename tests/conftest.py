@@ -1,14 +1,48 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration: run JAX locally on a virtual 8-device CPU mesh.
 
 Multi-chip sharding logic is validated on CPU (SURVEY.md §4.4); the real-TPU
 bench path is exercised separately by bench.py.
+
+The ambient environment may register a TPU PJRT plugin into every Python
+process via a PYTHONPATH sitecustomize and force jax_platforms to the tunneled
+TPU backend, which routes every tiny test op over the network (~25x slower)
+and hangs ~60s at interpreter exit. Neutralize it: force the platform config
+back to CPU, drop any initialized backends, and skip interpreter teardown.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_PLATFORM = os.environ.get("MEDIA_TPU_TEST_PLATFORM", "cpu")
+
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/media_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+if "jax" in sys.modules:  # a sitecustomize already imported + configured jax
+    import jax
+
+    jax.config.update("jax_platforms", _PLATFORM)
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:
+        pass
+
+_exit_status = [0]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _exit_status[0] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    # If a TPU PJRT plugin was registered, its atexit teardown can hang ~60s;
+    # all test output is flushed by now, so skip interpreter teardown.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_exit_status[0])

@@ -1,0 +1,121 @@
+"""Top-level encoder session: frames in, Annex-B H.264 bitstream out.
+
+Glues the TPU frame encoder (pipeline/encoder.py), the slice-layer entropy
+stage (pipeline/slice_coder.py) and the syntax layer (core/) into the
+per-frame encode contract the reference exposes via EncodeOneFrame
+(VideoCodecApi.h:54; VideoEncoderOpenH264.cpp:304).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.bitstream import BitWriter
+from ..core.nal import H264NalType, wrap_nal
+from ..core.syntax import PPS, SPS, SliceHeader
+from ..utils import yuv
+from . import slice_coder
+from .encoder import FrameEncoder
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 1280
+    height: int = 720
+    qp: int = 28
+    gop_size: int = 30
+    level_idc: int = 40
+    profile: str = "baseline"
+
+
+class EncoderSession:
+    """Stateful H.264 encoder: IDR + P-frame GOP structure, fixed QP (v1)."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.sps = SPS.for_size(cfg.width, cfg.height, level_idc=cfg.level_idc)
+        self.pps = PPS(pic_init_qp=cfg.qp, deblocking_filter_control_present=True)
+        pad_w = self.sps.pic_width_in_mbs * 16
+        pad_h = self.sps.pic_height_in_mbs * 16
+        self._frame_encoder = FrameEncoder(pad_w, pad_h)
+        self._pad_w, self._pad_h = pad_w, pad_h
+        self.frame_idx = 0
+        self.idr_pic_id = 0
+        self._force_idr = False
+        self.recon = None  # (y, u, v) reference planes
+
+    def force_keyframe(self) -> None:
+        """Analog of the reference's keyframe poll + ForceIntraFrame
+        (VideoEncoderOpenH264.cpp:333-341,406-410)."""
+        self._force_idr = True
+
+    def encode_frame(self, i420: bytes | np.ndarray) -> bytes:
+        """Encode one I420 frame; returns the Annex-B bytes for this AU."""
+        cfg = self.cfg
+        y, u, v = yuv.split_i420(i420, cfg.width, cfg.height)
+        y = yuv.pad_to_mb_grid(y, 16)
+        u = yuv.pad_to_mb_grid(u, 8)
+        v = yuv.pad_to_mb_grid(v, 8)
+
+        is_idr = (
+            self.frame_idx % cfg.gop_size == 0
+            or self._force_idr
+            or self.recon is None
+        )
+        self._force_idr = False
+        if is_idr:
+            data = self._encode_idr(y, u, v)
+        else:
+            data = self._encode_p(y, u, v)
+        self.frame_idx += 1
+        return data
+
+    # ------------------------------------------------------------------- IDR
+
+    def _encode_idr(self, y, u, v) -> bytes:
+        cfg = self.cfg
+        result = self._frame_encoder.encode_iframe(y, u, v, cfg.qp)
+        self.recon = (result.recon_y, result.recon_u, result.recon_v)
+        self.frame_idx_of_idr = self.frame_idx
+
+        bw = BitWriter()
+        hdr = SliceHeader(
+            slice_type=7,  # I (all slices in picture are I)
+            idr=True,
+            idr_pic_id=self.idr_pic_id,
+            frame_num=0,
+            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
+            disable_deblocking_filter_idc=1,
+        )
+        hdr.write(bw, self.sps, self.pps)
+        slice_coder.write_islice_mbs(
+            bw,
+            mode16=result.mode16,
+            chroma_mode=result.chroma_mode,
+            dc_levels=result.dc_levels,
+            ac_levels=result.ac_levels,
+            cdc_levels=result.cdc_levels,
+            cac_levels=result.cac_levels,
+        )
+        bw.rbsp_trailing_bits()
+        self.idr_pic_id = (self.idr_pic_id + 1) & 0xFFFF
+        self._frame_num = 1  # next frame
+
+        sps_w = BitWriter()
+        self.sps.write(sps_w)
+        sps_w.rbsp_trailing_bits()
+        pps_w = BitWriter()
+        self.pps.write(pps_w)
+        pps_w.rbsp_trailing_bits()
+        return (
+            wrap_nal(H264NalType.SPS, sps_w.get_bytes())
+            + wrap_nal(H264NalType.PPS, pps_w.get_bytes())
+            + wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(), nal_ref_idc=3)
+        )
+
+    # --------------------------------------------------------------------- P
+
+    def _encode_p(self, y, u, v) -> bytes:
+        raise NotImplementedError("P-frame path lands with the ME/MC milestone")

@@ -38,8 +38,10 @@ def _wave_indices(n_rows: int, n_cols: int):
     arrays and a validity mask. Wave k holds all MBs with r + c == k."""
     n_waves = n_rows + n_cols - 1
     max_wave = min(n_rows, n_cols)
-    rows = np.zeros((n_waves, max_wave), dtype=np.int32)
-    cols = np.zeros((n_waves, max_wave), dtype=np.int32)
+    # Invalid (padding) lanes point out of bounds so scatters with mode="drop"
+    # discard them instead of clobbering MB (0,0).
+    rows = np.full((n_waves, max_wave), n_rows, dtype=np.int32)
+    cols = np.full((n_waves, max_wave), n_cols, dtype=np.int32)
     mask = np.zeros((n_waves, max_wave), dtype=bool)
     for k in range(n_waves):
         i = 0

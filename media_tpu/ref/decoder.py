@@ -1,0 +1,539 @@
+"""Scalar numpy H.264 reference decoder (baseline subset) — the golden oracle.
+
+Deliberately written as straightforward per-MB loops, independent of the
+vectorized JAX encoder/decoder paths, so cross-checks between the two catch
+bugs in either (SURVEY.md §7.2 step 2: the CPU golden path every TPU kernel is
+tested against). Decodes the subset the framework emits:
+I slices (I_16x16) and P slices (P_L0_16x16 / P_Skip), CAVLC, deblocking off.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.bitstream import BitReader
+from ..core.nal import H264NalType, iter_nal_units
+from ..core.syntax import PPS, SPS, SliceHeader
+from ..entropy import cavlc
+from ..ops.transform import CHROMA_QP_TABLE, ZIGZAG_4x4
+
+# Scalar quant tables (same constants as ops/transform.py, used scalar-wise).
+_V = {0: (10, 16, 13), 1: (11, 18, 14), 2: (13, 20, 16),
+      3: (14, 23, 18), 4: (16, 25, 20), 5: (18, 29, 23)}
+
+_ZSCAN = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
+
+
+def _pos_class(i, j):
+    if i % 2 == 0 and j % 2 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    return 2
+
+
+def _dequant4(z, qp):
+    d = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        for j in range(4):
+            d[i, j] = (int(z[i, j]) * _V[qp % 6][_pos_class(i, j)]) << (qp // 6)
+    return d
+
+
+def _idct4(d):
+    e = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        e0 = d[i, 0] + d[i, 2]
+        e1 = d[i, 0] - d[i, 2]
+        e2 = (d[i, 1] >> 1) - d[i, 3]
+        e3 = d[i, 1] + (d[i, 3] >> 1)
+        e[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    h = np.zeros((4, 4), np.int64)
+    for j in range(4):
+        g0 = e[0, j] + e[2, j]
+        g1 = e[0, j] - e[2, j]
+        g2 = (e[1, j] >> 1) - e[3, j]
+        g3 = e[1, j] + (e[3, j] >> 1)
+        h[:, j] = [g0 + g3, g1 + g2, g1 - g2, g0 - g3]
+    return (h + 32) >> 6
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int64)
+
+
+def _luma_dc_decode(z_dc, qp):
+    f = _H4 @ z_dc.astype(np.int64) @ _H4
+    ls = 16 * _V[qp % 6][0]
+    out = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        for j in range(4):
+            if qp >= 36:
+                out[i, j] = (f[i, j] * ls) << (qp // 6 - 6)
+            else:
+                out[i, j] = (f[i, j] * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    return out
+
+
+def _chroma_dc_decode(z_dc, qp):
+    h2 = np.array([[1, 1], [1, -1]], np.int64)
+    f = h2 @ z_dc.astype(np.int64) @ h2
+    v0 = _V[qp % 6][0]
+    out = np.zeros((2, 2), np.int64)
+    for i in range(2):
+        for j in range(2):
+            out[i, j] = ((f[i, j] * 16 * v0) << (qp // 6)) >> 5
+    return out
+
+
+def _unzigzag(scan16):
+    out = np.zeros((4, 4), np.int32)
+    for k, (i, j) in enumerate(ZIGZAG_4x4):
+        out[i, j] = scan16[k]
+    return out
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    frame_num: int
+    idr: bool
+
+
+@dataclass
+class ReferenceDecoder:
+    """Stateful Annex-B stream decoder."""
+
+    sps: SPS | None = None
+    pps: PPS | None = None
+    ref_planes: tuple | None = None  # (y, u, v) of last decoded reference
+    frames: list = field(default_factory=list)
+
+    def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
+        out = []
+        for nal in iter_nal_units(data):
+            if nal.nal_type == H264NalType.SPS:
+                self.sps = SPS.parse(BitReader(nal.rbsp))
+            elif nal.nal_type == H264NalType.PPS:
+                self.pps = PPS.parse(BitReader(nal.rbsp))
+            elif nal.nal_type in (H264NalType.SLICE, H264NalType.IDR_SLICE):
+                frame = self._decode_slice(nal.rbsp, nal.nal_type, nal.nal_ref_idc)
+                out.append(frame)
+                self.frames.append(frame)
+        return out
+
+    # ------------------------------------------------------------------ slice
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int, nal_ref_idc: int) -> DecodedFrame:
+        if self.sps is None or self.pps is None:
+            raise ValueError("slice before SPS/PPS")
+        sps, pps = self.sps, self.pps
+        br = BitReader(rbsp)
+        hdr = SliceHeader.parse(br, sps, pps, nal_type=nal_type, nal_ref_idc=nal_ref_idc)
+        qp = pps.pic_init_qp + hdr.slice_qp_delta
+        if hdr.disable_deblocking_filter_idc != 1:
+            raise NotImplementedError("in-loop deblocking not implemented in ref decoder")
+
+        n_rows = sps.pic_height_in_mbs
+        n_cols = sps.pic_width_in_mbs
+        H, W = n_rows * 16, n_cols * 16
+        y = np.zeros((H, W), np.int32)
+        u = np.zeros((H // 2, W // 2), np.int32)
+        v = np.zeros((H // 2, W // 2), np.int32)
+
+        luma_nnz = np.zeros((n_rows * 4, n_cols * 4), np.int32)
+        chroma_nnz = np.zeros((2, n_rows * 2, n_cols * 2), np.int32)
+
+        if hdr.is_p:
+            if self.ref_planes is None:
+                raise ValueError("P slice without reference frame")
+            ref_y, ref_u, ref_v = self.ref_planes
+
+        mb_count = n_rows * n_cols
+        mb_idx = 0
+        skip_run = 0
+        pred_mv = {}  # (r, c) -> (mvx, mvy) actual MVs for MV prediction
+        while mb_idx < mb_count:
+            r, c = divmod(mb_idx, n_cols)
+            if hdr.is_p:
+                if skip_run == 0:
+                    skip_run = br.ue()  # mb_skip_run
+                    self._pending_skips = skip_run
+                if skip_run > 0:
+                    skip_run -= 1
+                    self._decode_p_skip(y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv)
+                    luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
+                    chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+                    mb_idx += 1
+                    continue
+                mb_type = br.ue()
+                if mb_type >= 5:  # intra MB in P slice
+                    self._decode_i16(br, y, u, v, r, c, mb_type - 5, qp,
+                                     luma_nnz, chroma_nnz, n_cols)
+                else:
+                    self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
+                                     mb_type, qp, luma_nnz, chroma_nnz, n_cols, pred_mv)
+                skip_run = 0
+                mb_idx += 1
+            else:
+                mb_type = br.ue()
+                self._decode_i16(br, y, u, v, r, c, mb_type, qp,
+                                 luma_nnz, chroma_nnz, n_cols)
+                mb_idx += 1
+
+        frame = DecodedFrame(
+            y=np.clip(y, 0, 255).astype(np.uint8),
+            u=np.clip(u, 0, 255).astype(np.uint8),
+            v=np.clip(v, 0, 255).astype(np.uint8),
+            frame_num=hdr.frame_num,
+            idr=hdr.idr,
+        )
+        if nal_ref_idc != 0:
+            self.ref_planes = (
+                frame.y.astype(np.int32),
+                frame.u.astype(np.int32),
+                frame.v.astype(np.int32),
+            )
+        return frame
+
+    # ------------------------------------------------------------- intra 16x16
+
+    def _decode_i16(self, br, y, u, v, r, c, mb_type, qp, luma_nnz, chroma_nnz, n_cols):
+        if not 1 <= mb_type <= 24:
+            raise NotImplementedError(f"mb_type {mb_type} (only I_16x16 supported)")
+        mt = mb_type - 1
+        pred_mode = mt % 4
+        cbp_chroma = (mt // 4) % 3
+        cbp_luma = 15 if mt >= 12 else 0
+        chroma_mode = br.ue()
+        qp_delta = br.se()
+        if qp_delta:
+            raise NotImplementedError("mb_qp_delta != 0")
+
+        # Residual parse
+        n_c = self._nc(luma_nnz, r * 4, c * 4)
+        dc_scan, _ = cavlc.decode_block(br, n_c, 16)
+        ac = np.zeros((16, 15), np.int32)
+        if cbp_luma:
+            for zi in range(16):
+                bi = _ZSCAN[zi]
+                by, bx = r * 4 + bi // 4, c * 4 + bi % 4
+                n_c = self._nc(luma_nnz, by, bx)
+                coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                ac[bi] = coeffs
+                luma_nnz[by, bx] = tc
+        else:
+            luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 15), np.int32)
+        if cbp_chroma:
+            for comp in range(2):
+                coeffs, _ = cavlc.decode_block(br, -1, 4)
+                cdc[comp] = coeffs
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for bi in range(4):
+                    by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                    n_c = self._nc(chroma_nnz[comp], by, bx)
+                    coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                    cac[comp, bi] = coeffs
+                    chroma_nnz[comp, by, bx] = tc
+        else:
+            chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+
+        # Prediction
+        pred = self._pred16(y, r, c, pred_mode)
+        self._recon_luma_i16(y, r, c, pred, dc_scan, ac, qp)
+        for comp, plane in ((0, u), (1, v)):
+            cpred = self._pred_chroma(plane, r, c, chroma_mode)
+            qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            self._recon_chroma(plane, r, c, cpred, cdc[comp], cac[comp], qpc)
+
+    @staticmethod
+    def _nc(nnz, by, bx):
+        a = bx > 0
+        b = by > 0
+        if a and b:
+            return (int(nnz[by, bx - 1]) + int(nnz[by - 1, bx]) + 1) >> 1
+        if a:
+            return int(nnz[by, bx - 1])
+        if b:
+            return int(nnz[by - 1, bx])
+        return 0
+
+    @staticmethod
+    def _pred16(y, r, c, mode):
+        y0, x0 = r * 16, c * 16
+        has_top = r > 0
+        has_left = c > 0
+        pred = np.zeros((16, 16), np.int64)
+        if mode == 0:  # vertical
+            assert has_top
+            pred[:] = y[y0 - 1, x0 : x0 + 16][None, :]
+        elif mode == 1:  # horizontal
+            assert has_left
+            pred[:] = y[y0 : y0 + 16, x0 - 1][:, None]
+        elif mode == 2:  # DC
+            if has_top and has_left:
+                s = int(y[y0 - 1, x0 : x0 + 16].sum() + y[y0 : y0 + 16, x0 - 1].sum())
+                pred[:] = (s + 16) >> 5
+            elif has_top:
+                pred[:] = (int(y[y0 - 1, x0 : x0 + 16].sum()) + 8) >> 4
+            elif has_left:
+                pred[:] = (int(y[y0 : y0 + 16, x0 - 1].sum()) + 8) >> 4
+            else:
+                pred[:] = 128
+        else:  # plane
+            assert has_top and has_left
+            p = lambda yy, xx: int(y[y0 + yy, x0 + xx])
+            h = sum((x + 1) * (p(-1, 8 + x) - p(-1, 6 - x)) for x in range(8))
+            vv = sum((yy + 1) * (p(8 + yy, -1) - p(6 - yy, -1)) for yy in range(8))
+            a = 16 * (p(-1, 15) + p(15, -1))
+            b = (5 * h + 32) >> 6
+            cc = (5 * vv + 32) >> 6
+            for yy in range(16):
+                for xx in range(16):
+                    pred[yy, xx] = np.clip((a + b * (xx - 7) + cc * (yy - 7) + 16) >> 5, 0, 255)
+        return pred
+
+    @staticmethod
+    def _pred_chroma(plane, r, c, mode):
+        y0, x0 = r * 8, c * 8
+        has_top = r > 0
+        has_left = c > 0
+        pred = np.zeros((8, 8), np.int64)
+        if mode == 0:  # DC, per 4x4 quadrant
+            for qy in (0, 4):
+                for qx in (0, 4):
+                    t = plane[y0 - 1, x0 + qx : x0 + qx + 4] if has_top else None
+                    l = plane[y0 + qy : y0 + qy + 4, x0 - 1] if has_left else None
+                    if qx == qy:  # corners (0,0)/(4,4): average both if avail
+                        if has_top and has_left:
+                            val = (int(t.sum()) + int(l.sum()) + 4) >> 3
+                        elif has_top:
+                            val = (int(t.sum()) + 2) >> 2
+                        elif has_left:
+                            val = (int(l.sum()) + 2) >> 2
+                        else:
+                            val = 128
+                    elif qx == 4:  # top-right block prefers top
+                        if has_top:
+                            val = (int(t.sum()) + 2) >> 2
+                        elif has_left:
+                            val = (int(l.sum()) + 2) >> 2
+                        else:
+                            val = 128
+                    else:  # bottom-left block prefers left
+                        if has_left:
+                            val = (int(l.sum()) + 2) >> 2
+                        elif has_top:
+                            val = (int(t.sum()) + 2) >> 2
+                        else:
+                            val = 128
+                    pred[qy : qy + 4, qx : qx + 4] = val
+        elif mode == 1:  # horizontal
+            assert has_left
+            pred[:] = plane[y0 : y0 + 8, x0 - 1][:, None]
+        elif mode == 2:  # vertical
+            assert has_top
+            pred[:] = plane[y0 - 1, x0 : x0 + 8][None, :]
+        else:  # plane
+            assert has_top and has_left
+            p = lambda yy, xx: int(plane[y0 + yy, x0 + xx])
+            h = sum((x + 1) * (p(-1, 4 + x) - p(-1, 2 - x)) for x in range(4))
+            vv = sum((yy + 1) * (p(4 + yy, -1) - p(2 - yy, -1)) for yy in range(4))
+            a = 16 * (p(-1, 7) + p(7, -1))
+            b = (17 * h + 16) >> 5
+            cc = (17 * vv + 16) >> 5
+            for yy in range(8):
+                for xx in range(8):
+                    pred[yy, xx] = np.clip((a + b * (xx - 3) + cc * (yy - 3) + 16) >> 5, 0, 255)
+        return pred
+
+    def _recon_luma_i16(self, y, r, c, pred, dc_scan, ac, qp):
+        dc_block = _unzigzag(list(dc_scan))  # 4x4 of DC levels
+        dc_vals = _luma_dc_decode(dc_block, qp)
+        y0, x0 = r * 16, c * 16
+        for bi in range(16):
+            by, bx = bi // 4, bi % 4
+            z = _unzigzag([0] + list(ac[bi]))
+            d = _dequant4(z, qp)
+            d[0, 0] = dc_vals[by, bx]
+            res = _idct4(d)
+            py, px = y0 + by * 4, x0 + bx * 4
+            y[py : py + 4, px : px + 4] = np.clip(pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255)
+
+    def _recon_chroma(self, plane, r, c, pred, cdc, cac, qpc):
+        dc_vals = _chroma_dc_decode(np.array(cdc, np.int32).reshape(2, 2), qpc)
+        y0, x0 = r * 8, c * 8
+        for bi in range(4):
+            by, bx = bi // 2, bi % 2
+            z = _unzigzag([0] + list(cac[bi]))
+            d = _dequant4(z, qpc)
+            d[0, 0] = dc_vals[by, bx]
+            res = _idct4(d)
+            py, px = y0 + by * 4, x0 + bx * 4
+            plane[py : py + 4, px : px + 4] = np.clip(
+                pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
+            )
+
+    # ----------------------------------------------------------------- inter
+
+    def _mv_pred(self, pred_mv, r, c, n_cols):
+        """Median MV prediction for 16x16 partitions (spec 8.4.1.3).
+
+        Neighbors: A = left MB, B = top MB, C = top-right MB (D = top-left
+        substitutes when C unavailable). Unavailable/intra neighbors
+        contribute (0,0) but availability shapes the special cases.
+        """
+        a = pred_mv.get((r, c - 1)) if c > 0 else None
+        b = pred_mv.get((r - 1, c)) if r > 0 else None
+        cc = pred_mv.get((r - 1, c + 1)) if (r > 0 and c + 1 < n_cols) else None
+        if cc is None and r > 0 and c > 0:
+            cc = pred_mv.get((r - 1, c - 1))  # D substitutes for C
+        avail_a = c > 0
+        avail_b = r > 0
+        avail_c = (r > 0 and c + 1 < n_cols) or (r > 0 and c > 0)
+        # Only A available (B, C unavailable) -> use A directly.
+        if avail_a and not avail_b and not avail_c:
+            return a if a is not None else (0, 0)
+        va = a if a is not None else (0, 0)
+        vb = b if b is not None else (0, 0)
+        vc = cc if cc is not None else (0, 0)
+        mvx = int(np.median([va[0], vb[0], vc[0]]))
+        mvy = int(np.median([va[1], vb[1], vc[1]]))
+        return mvx, mvy
+
+    def _mc_luma(self, ref_y, r, c, mvx, mvy):
+        """Full-pel motion compensation, 16x16 (quarter-pel units, fullpel MVs)."""
+        if mvx % 4 or mvy % 4:
+            raise NotImplementedError("sub-pel MC not yet in ref decoder")
+        H, W = ref_y.shape
+        y0, x0 = r * 16 + mvy // 4, c * 16 + mvx // 4
+        ys = np.clip(np.arange(y0, y0 + 16), 0, H - 1)
+        xs = np.clip(np.arange(x0, x0 + 16), 0, W - 1)
+        return ref_y[np.ix_(ys, xs)]
+
+    def _mc_chroma(self, ref_c, r, c, mvx, mvy):
+        """Chroma MC at 1/8-pel: full-pel luma MVs can still be half-pel in
+        chroma; bilinear interpolation per spec 8.4.2.2.2."""
+        H, W = ref_c.shape
+        # chroma mv in 1/8 units = luma mv (1/4 units) ... mvC = mvL (same
+        # numeric value interpreted at 1/8 chroma pel)
+        fx, fy = mvx & 7, mvy & 7
+        ix, iy = mvx >> 3, mvy >> 3
+        y0, x0 = r * 8 + iy, c * 8 + ix
+        ys = np.clip(np.arange(y0, y0 + 9), 0, H - 1)
+        xs = np.clip(np.arange(x0, x0 + 9), 0, W - 1)
+        patch = ref_c[np.ix_(ys, xs)].astype(np.int64)
+        a = patch[:8, :8]
+        b = patch[:8, 1:9]
+        cc = patch[1:9, :8]
+        d = patch[1:9, 1:9]
+        return (
+            (8 - fx) * (8 - fy) * a
+            + fx * (8 - fy) * b
+            + (8 - fx) * fy * cc
+            + fx * fy * d
+            + 32
+        ) >> 6
+
+    def _decode_p_skip(self, y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv):
+        """P_Skip: MV = predicted MV, with border zero special cases (8.4.1.1)."""
+        mvx, mvy = self._mv_pred(pred_mv, r, c, n_cols)
+        if r == 0 or c == 0:
+            # spec: skip MV is 0 if A or B unavailable or has zero MV+ref0
+            mvx, mvy = 0, 0
+        a = pred_mv.get((r, c - 1)) if c > 0 else None
+        b = pred_mv.get((r - 1, c)) if r > 0 else None
+        if (a is not None and a == (0, 0)) or (b is not None and b == (0, 0)):
+            mvx, mvy = 0, 0
+        pred_mv[(r, c)] = (mvx, mvy)
+        y0, x0 = r * 16, c * 16
+        y[y0 : y0 + 16, x0 : x0 + 16] = self._mc_luma(ref_y, r, c, mvx, mvy)
+        u[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_u, r, c, mvx, mvy)
+        v[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_v, r, c, mvx, mvy)
+
+    def _decode_p16(self, br, y, u, v, ref_y, ref_u, ref_v, r, c, mb_type, qp,
+                    luma_nnz, chroma_nnz, n_cols, pred_mv):
+        if mb_type != 0:
+            raise NotImplementedError(f"P mb_type {mb_type} (only P_L0_16x16)")
+        mvdx = br.se()
+        mvdy = br.se()
+        px, py = self._mv_pred(pred_mv, r, c, n_cols)
+        mvx, mvy = px + mvdx, py + mvdy
+        pred_mv[(r, c)] = (mvx, mvy)
+
+        pred_y = self._mc_luma(ref_y, r, c, mvx, mvy)
+        pred_u = self._mc_chroma(ref_u, r, c, mvx, mvy)
+        pred_v = self._mc_chroma(ref_v, r, c, mvx, mvy)
+
+        from ..entropy.cavlc_tables import CBP_TABLE
+
+        cbp_code = br.ue()
+        cbp = int(CBP_TABLE[cbp_code][1])  # inter column
+        cbp_luma = cbp & 15
+        cbp_chroma = cbp >> 4
+        ac = np.zeros((16, 16), np.int32)  # full 16-coeff blocks for inter
+        if cbp:
+            qp_delta = br.se()
+            if qp_delta:
+                raise NotImplementedError("mb_qp_delta != 0")
+        for g8 in range(4):  # 8x8 groups in z-scan
+            if not (cbp_luma >> g8) & 1:
+                for k in range(4):
+                    bi = _ZSCAN[g8 * 4 + k]
+                    luma_nnz[r * 4 + bi // 4, c * 4 + bi % 4] = 0
+                continue
+            for k in range(4):
+                bi = _ZSCAN[g8 * 4 + k]
+                by, bx = r * 4 + bi // 4, c * 4 + bi % 4
+                n_c = self._nc(luma_nnz, by, bx)
+                coeffs, tc = cavlc.decode_block(br, n_c, 16)
+                ac[bi] = coeffs
+                luma_nnz[by, bx] = tc
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 15), np.int32)
+        if cbp_chroma:
+            for comp in range(2):
+                coeffs, _ = cavlc.decode_block(br, -1, 4)
+                cdc[comp] = coeffs
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for bi in range(4):
+                    by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                    n_c = self._nc(chroma_nnz[comp], by, bx)
+                    coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                    cac[comp, bi] = coeffs
+                    chroma_nnz[comp, by, bx] = tc
+        else:
+            chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+
+        # Reconstruct luma
+        y0, x0 = r * 16, c * 16
+        for bi in range(16):
+            by, bx = bi // 4, bi % 4
+            z = _unzigzag(list(ac[bi]))
+            d = _dequant4(z, qp)
+            res = _idct4(d)
+            pyy, pxx = y0 + by * 4, x0 + bx * 4
+            y[pyy : pyy + 4, pxx : pxx + 4] = np.clip(
+                pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
+            )
+        # Chroma
+        qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+        for comp, plane, cpred in ((0, u, pred_u), (1, v, pred_v)):
+            dc_vals = _chroma_dc_decode(cdc[comp].reshape(2, 2), qpc)
+            for bi in range(4):
+                by, bx = bi // 2, bi % 2
+                z = _unzigzag([0] + list(cac[comp, bi]))
+                d = _dequant4(z, qpc)
+                d[0, 0] = dc_vals[by, bx]
+                res = _idct4(d)
+                pyy, pxx = r * 8 + by * 4, c * 8 + bx * 4
+                plane[pyy : pyy + 4, pxx : pxx + 4] = np.clip(
+                    cpred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
+                )

@@ -35,7 +35,7 @@ def main():
     qp = int(sys.argv[3]) if len(sys.argv) > 3 else 28
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
-    sess = EncoderSession(EncoderConfig(width=w, height=h, qp=qp, gop_size=1))
+    sess = EncoderSession(EncoderConfig(width=w, height=h, qp=qp, gop_size=30))
     dec = ReferenceDecoder()
     total_bits = 0
     for t in range(n):

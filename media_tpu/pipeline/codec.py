@@ -118,4 +118,31 @@ class EncoderSession:
     # --------------------------------------------------------------------- P
 
     def _encode_p(self, y, u, v) -> bytes:
-        raise NotImplementedError("P-frame path lands with the ME/MC milestone")
+        cfg = self.cfg
+        ref_y, ref_u, ref_v = self.recon
+        result = self._frame_encoder.encode_pframe(
+            y, u, v, ref_y, ref_u, ref_v, cfg.qp
+        )
+        self.recon = (result.recon_y, result.recon_u, result.recon_v)
+
+        bw = BitWriter()
+        frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
+            1 << self.sps.log2_max_frame_num
+        )
+        hdr = SliceHeader(
+            slice_type=5,  # P (all slices in picture are P)
+            idr=False,
+            frame_num=frame_num,
+            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
+            disable_deblocking_filter_idc=1,
+        )
+        hdr.write(bw, self.sps, self.pps)
+        slice_coder.write_pslice_mbs(
+            bw,
+            mv=result.mv,
+            luma_levels=result.luma_levels,
+            cdc_levels=result.cdc_levels,
+            cac_levels=result.cac_levels,
+        )
+        bw.rbsp_trailing_bits()
+        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import intra as intra_ops
+from ..ops import me as me_ops
 from ..ops import transform as T
 
 # z-scan order of 4x4 luma blocks within an MB -> raster index (by*4+bx)
@@ -81,6 +82,19 @@ def _blocks8_mb(blocks):
 
 
 @dataclass
+class PFrameResult:
+    """Per-MB symbol arrays for an inter frame (P_L0_16x16 everywhere)."""
+
+    mv: np.ndarray  # (R, C, 2) full-pel luma MVs (mvx, mvy)
+    luma_levels: np.ndarray  # (R, C, 16, 16) quantized levels per 4x4, zig-zag
+    cdc_levels: np.ndarray  # (R, C, 2, 4)
+    cac_levels: np.ndarray  # (R, C, 2, 4, 15)
+    recon_y: np.ndarray
+    recon_u: np.ndarray
+    recon_v: np.ndarray
+
+
+@dataclass
 class IFrameResult:
     """Per-MB symbol arrays (numpy, host) + reconstruction."""
 
@@ -133,6 +147,91 @@ class FrameEncoder:
             recon_u=out["recon_u"].astype(np.uint8),
             recon_v=out["recon_v"].astype(np.uint8),
         )
+
+    # ------------------------------------------------------------------ inter
+
+    def encode_pframe(self, y, u, v, ref_y, ref_u, ref_v, qp: int,
+                      search_range: int = 8) -> PFrameResult:
+        """Encode one P frame against a reconstructed reference.
+
+        Fully parallel across MBs (no wavefront): with in-loop deblocking off,
+        inter reconstruction is MC(ref) + residual, which has no intra-frame
+        dependencies — the TPU-native fast path.
+        """
+        qp_c = int(T.chroma_qp(qp))
+        out = self._encode_pframe_device(
+            jnp.asarray(y, jnp.int32),
+            jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32),
+            jnp.asarray(ref_y, jnp.int32),
+            jnp.asarray(ref_u, jnp.int32),
+            jnp.asarray(ref_v, jnp.int32),
+            jnp.int32(qp),
+            jnp.int32(qp_c),
+            search_range,
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return PFrameResult(
+            mv=out["mv"],
+            luma_levels=out["luma_levels"],
+            cdc_levels=out["cdc_levels"],
+            cac_levels=out["cac_levels"],
+            recon_y=out["recon_y"].astype(np.uint8),
+            recon_u=out["recon_u"].astype(np.uint8),
+            recon_v=out["recon_v"].astype(np.uint8),
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 9))
+    def _encode_pframe_device(self, y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
+                              search_range):
+        R, C = self.n_rows, self.n_cols
+        n = R * C
+        cur = y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+        cur_u = u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+        cur_v = v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+
+        windows = me_ops.gather_mb_windows(ref_y, R, C, 16, search_range)
+        mv, _cost = me_ops.full_search(cur, windows, search_range)
+        pred = me_ops.mc_luma(windows, mv, search_range)
+        pred_u = me_ops.mc_chroma(ref_u, mv, R, C)
+        pred_v = me_ops.mc_chroma(ref_v, mv, R, C)
+
+        # Luma residual: plain 4x4 transform + inter quant (16-coeff blocks).
+        res = _mb_blocks(cur - pred)
+        w = T.forward_4x4(res)
+        z = T.quant_4x4(w, qp, intra=False)
+        recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp))), 0, 255)
+
+        def chroma_code(o_c, pred_c):
+            res_c = _mb_blocks8(o_c - pred_c)
+            w_c = T.forward_4x4(res_c)
+            dc2 = w_c[:, :, 0, 0].reshape(-1, 2, 2)
+            z2 = T.quant_dc_2x2(T.hadamard_2x2(dc2), qp_c, intra=False)
+            d2 = T.dequant_dc_2x2(T.hadamard_2x2(z2), qp_c)
+            z_cac = T.quant_4x4(w_c, qp_c, intra=False)
+            z_cac = z_cac.at[:, :, 0, 0].set(0)
+            d_c = T.dequant_4x4(z_cac, qp_c)
+            d_c = d_c.at[:, :, 0, 0].set(d2.reshape(-1, 4))
+            recon_c = jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
+            return z2.reshape(-1, 4), z_cac, recon_c
+
+        zdc_u, zac_u, recon_u = chroma_code(cur_u, pred_u)
+        zdc_v, zac_v, recon_v = chroma_code(cur_v, pred_v)
+
+        def grid(x):
+            return x.reshape(R, C, *x.shape[1:])
+
+        return {
+            "mv": grid(mv),
+            "luma_levels": grid(T.zigzag(z)),
+            "cdc_levels": grid(jnp.stack([zdc_u, zdc_v], axis=1)),
+            "cac_levels": grid(
+                jnp.stack([T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1)
+            ),
+            "recon_y": grid(recon).transpose(0, 2, 1, 3).reshape(self.height, self.width),
+            "recon_u": grid(recon_u).transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2),
+            "recon_v": grid(recon_v).transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2),
+        }
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_iframe_device(self, y, u, v, qp, qp_c):

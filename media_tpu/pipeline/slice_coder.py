@@ -199,3 +199,84 @@ def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> Parsed
         cac_levels=cac_levels,
         qp=qp,
     )
+
+
+# --------------------------------------------------------------------- P slice
+
+
+def write_pslice_mbs(
+    bw: BitWriter,
+    *,
+    mv: np.ndarray,
+    luma_levels: np.ndarray,
+    cdc_levels: np.ndarray,
+    cac_levels: np.ndarray,
+) -> dict:
+    """Write all macroblocks of a P slice (P_L0_16x16 / P_Skip).
+
+    mv: (R, C, 2) full-pel luma MVs; luma_levels: (R, C, 16, 16) zig-zag.
+    Returns stats (skip count) for rate control / perf logs.
+    """
+    from . import mv_pred
+
+    n_rows, n_cols = mv.shape[:2]
+    st = _MbGridCoder(n_rows, n_cols)
+    mv_map: dict = {}
+    skip_run = 0
+    n_skip = 0
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            # Entropy layer works in quarter-pel units (matching the decoder's
+            # MV map); the TPU search currently produces full-pel MVs.
+            this_mv = (int(mv[r, c, 0]) * 4, int(mv[r, c, 1]) * 4)
+            # CBP from quantized levels: luma bit per 8x8 group (z-scan).
+            cbp_luma = 0
+            for g8 in range(4):
+                blks = [ZSCAN_TO_RASTER[g8 * 4 + k] for k in range(4)]
+                if any(np.any(luma_levels[r, c, b]) for b in blks):
+                    cbp_luma |= 1 << g8
+            if np.any(cac_levels[r, c]):
+                cbp_chroma = 2
+            elif np.any(cdc_levels[r, c]):
+                cbp_chroma = 1
+            else:
+                cbp_chroma = 0
+            cbp = cbp_luma | (cbp_chroma << 4)
+
+            can_skip = cbp == 0 and this_mv == mv_pred.skip_mv(mv_map, r, c, n_cols)
+            if can_skip:
+                skip_run += 1
+                n_skip += 1
+                mv_map[(r, c)] = this_mv
+                st.luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
+                st.chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+                continue
+
+            bw.ue(skip_run)
+            skip_run = 0
+            bw.ue(0)  # mb_type = P_L0_16x16
+            px, py = mv_pred.predict_mv(mv_map, r, c, n_cols)
+            bw.se(this_mv[0] - px)
+            bw.se(this_mv[1] - py)
+            mv_map[(r, c)] = this_mv
+            bw.ue(int(tables.CBP_TO_CODE_INTER[cbp]))
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+            # Luma residual: 16-coeff blocks for coded 8x8 groups, z-scan order.
+            for g8 in range(4):
+                blks = [ZSCAN_TO_RASTER[g8 * 4 + k] for k in range(4)]
+                if not (cbp_luma >> g8) & 1:
+                    for b in blks:
+                        st.luma_nnz[r * 4 + b // 4, c * 4 + b % 4] = 0
+                    continue
+                for b in blks:
+                    by, bx = r * 4 + b // 4, c * 4 + b % 4
+                    n_c = _nc_luma(st.luma_nnz, by, bx)
+                    tc = cavlc.encode_block(bw, luma_levels[r, c, b].tolist(), n_c)
+                    st.luma_nnz[by, bx] = tc
+            _write_chroma_residual(bw, st, r, c, cdc_levels[r, c], cac_levels[r, c], cbp_chroma)
+
+    if skip_run:
+        bw.ue(skip_run)
+    return {"n_skip": n_skip}

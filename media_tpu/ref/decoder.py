@@ -18,6 +18,7 @@ from ..core.nal import H264NalType, iter_nal_units
 from ..core.syntax import PPS, SPS, SliceHeader
 from ..entropy import cavlc
 from ..ops.transform import CHROMA_QP_TABLE, ZIGZAG_4x4
+from ..pipeline import mv_pred
 
 # Scalar quant tables (same constants as ops/transform.py, used scalar-wise).
 _V = {0: (10, 16, 13), 1: (11, 18, 14), 2: (13, 20, 16),
@@ -154,21 +155,19 @@ class ReferenceDecoder:
 
         mb_count = n_rows * n_cols
         mb_idx = 0
-        skip_run = 0
         pred_mv = {}  # (r, c) -> (mvx, mvy) actual MVs for MV prediction
         while mb_idx < mb_count:
-            r, c = divmod(mb_idx, n_cols)
             if hdr.is_p:
-                if skip_run == 0:
-                    skip_run = br.ue()  # mb_skip_run
-                    self._pending_skips = skip_run
-                if skip_run > 0:
-                    skip_run -= 1
+                skip_run = br.ue()  # mb_skip_run precedes each coded MB
+                for _ in range(skip_run):
+                    r, c = divmod(mb_idx, n_cols)
                     self._decode_p_skip(y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv)
                     luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
                     chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
                     mb_idx += 1
-                    continue
+                if mb_idx >= mb_count:
+                    break
+                r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
                 if mb_type >= 5:  # intra MB in P slice
                     self._decode_i16(br, y, u, v, r, c, mb_type - 5, qp,
@@ -176,9 +175,9 @@ class ReferenceDecoder:
                 else:
                     self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
                                      mb_type, qp, luma_nnz, chroma_nnz, n_cols, pred_mv)
-                skip_run = 0
                 mb_idx += 1
             else:
+                r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
                 self._decode_i16(br, y, u, v, r, c, mb_type, qp,
                                  luma_nnz, chroma_nnz, n_cols)
@@ -382,30 +381,9 @@ class ReferenceDecoder:
 
     # ----------------------------------------------------------------- inter
 
-    def _mv_pred(self, pred_mv, r, c, n_cols):
-        """Median MV prediction for 16x16 partitions (spec 8.4.1.3).
-
-        Neighbors: A = left MB, B = top MB, C = top-right MB (D = top-left
-        substitutes when C unavailable). Unavailable/intra neighbors
-        contribute (0,0) but availability shapes the special cases.
-        """
-        a = pred_mv.get((r, c - 1)) if c > 0 else None
-        b = pred_mv.get((r - 1, c)) if r > 0 else None
-        cc = pred_mv.get((r - 1, c + 1)) if (r > 0 and c + 1 < n_cols) else None
-        if cc is None and r > 0 and c > 0:
-            cc = pred_mv.get((r - 1, c - 1))  # D substitutes for C
-        avail_a = c > 0
-        avail_b = r > 0
-        avail_c = (r > 0 and c + 1 < n_cols) or (r > 0 and c > 0)
-        # Only A available (B, C unavailable) -> use A directly.
-        if avail_a and not avail_b and not avail_c:
-            return a if a is not None else (0, 0)
-        va = a if a is not None else (0, 0)
-        vb = b if b is not None else (0, 0)
-        vc = cc if cc is not None else (0, 0)
-        mvx = int(np.median([va[0], vb[0], vc[0]]))
-        mvy = int(np.median([va[1], vb[1], vc[1]]))
-        return mvx, mvy
+    @staticmethod
+    def _mv_pred(pred_mv, r, c, n_cols):
+        return mv_pred.predict_mv(pred_mv, r, c, n_cols)
 
     def _mc_luma(self, ref_y, r, c, mvx, mvy):
         """Full-pel motion compensation, 16x16 (quarter-pel units, fullpel MVs)."""
@@ -442,15 +420,8 @@ class ReferenceDecoder:
         ) >> 6
 
     def _decode_p_skip(self, y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv):
-        """P_Skip: MV = predicted MV, with border zero special cases (8.4.1.1)."""
-        mvx, mvy = self._mv_pred(pred_mv, r, c, n_cols)
-        if r == 0 or c == 0:
-            # spec: skip MV is 0 if A or B unavailable or has zero MV+ref0
-            mvx, mvy = 0, 0
-        a = pred_mv.get((r, c - 1)) if c > 0 else None
-        b = pred_mv.get((r - 1, c)) if r > 0 else None
-        if (a is not None and a == (0, 0)) or (b is not None and b == (0, 0)):
-            mvx, mvy = 0, 0
+        """P_Skip: MV inferred by the shared skip rule (spec 8.4.1.1)."""
+        mvx, mvy = mv_pred.skip_mv(pred_mv, r, c, n_cols)
         pred_mv[(r, c)] = (mvx, mvy)
         y0, x0 = r * 16, c * 16
         y[y0 : y0 + 16, x0 : x0 + 16] = self._mc_luma(ref_y, r, c, mvx, mvy)

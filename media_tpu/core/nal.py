@@ -99,7 +99,17 @@ def wrap_nal(nal_type: int, rbsp: bytes, *, nal_ref_idc: int = 3,
     """Build a full H.264 NAL unit: start code + header byte + escaped RBSP."""
     header = bytes([((nal_ref_idc & 3) << 5) | (nal_type & 0x1F)])
     start = b"\x00\x00\x00\x01" if long_start_code else b"\x00\x00\x01"
-    return start + escape_rbsp(header + rbsp)
+    payload = header + rbsp
+    if len(payload) > 4096:  # native escaping for large payloads
+        try:
+            from .. import native
+
+            escaped = native.escape_rbsp_native(payload)
+            if escaped is not None:
+                return start + escaped
+        except Exception:
+            pass
+    return start + escape_rbsp(payload)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,179 @@
+"""Native (C++) hot-path runtime: CAVLC slice packer, RBSP escaping.
+
+Compiles csrc/cavlc_pack.cpp on first use with the system toolchain into a
+cached shared library (csrc/build/). The Python implementations in
+entropy/cavlc.py and pipeline/slice_coder.py remain the tested oracle; tests
+assert byte-identical output. Set MEDIA_TPU_NATIVE=0 to force the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "csrc")
+_CSRC = os.path.normpath(_CSRC)
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> str | None:
+    """Compile (if needed) and return the .so path, or None on failure."""
+    src = os.path.join(_CSRC, "cavlc_pack.cpp")
+    gen = os.path.join(_CSRC, "gen_tables.py")
+    inc = os.path.join(_CSRC, "cavlc_tables.inc")
+    if not os.path.exists(src):
+        return None
+    build_dir = os.path.join(_CSRC, "build")
+    os.makedirs(build_dir, exist_ok=True)
+    if not os.path.exists(inc) or os.path.getmtime(inc) < os.path.getmtime(gen):
+        subprocess.run(
+            [sys.executable, gen, inc],
+            check=True,
+            capture_output=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
+        )
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read())
+    with open(inc, "rb") as f:
+        digest.update(f.read())
+    so_path = os.path.join(build_dir, f"libmediatpu_{digest.hexdigest()[:16]}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + ".tmp"
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, cwd=_CSRC)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            sys.stderr.write(f"media_tpu.native: build failed ({e}); using Python path\n")
+            return None
+        os.replace(tmp, so_path)
+    return so_path
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("MEDIA_TPU_NATIVE", "1") == "0":
+            return None
+        path = _build_lib()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.mtpu_write_slice_i.restype = ctypes.c_int64
+        lib.mtpu_write_slice_i.argtypes = [
+            ctypes.c_uint64, ctypes.c_int,
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int,
+            i32p, i32p, u8p, ctypes.c_int64,
+        ]
+        lib.mtpu_write_slice_p.restype = ctypes.c_int64
+        lib.mtpu_write_slice_p.argtypes = [
+            ctypes.c_uint64, ctypes.c_int,
+            i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, u8p, ctypes.c_int64,
+        ]
+        lib.mtpu_escape_rbsp.restype = ctypes.c_int64
+        lib.mtpu_escape_rbsp.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32(a):
+    arr = np.ascontiguousarray(a, dtype=np.int32)
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def write_islice_native(bw, mode16, chroma_mode, dc, ac, cdc, cac) -> bool:
+    """Append all I-slice MBs + rbsp trailing to BitWriter `bw`. Returns
+    False if the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return False
+    R, C = mode16.shape
+    cap = R * C * 4096 + 65536
+    out = np.empty(cap, np.uint8)
+    l_nnz = np.empty(R * 4 * C * 4, np.int32)
+    c_nnz = np.empty(2 * R * 2 * C * 2, np.int32)
+    holders = []
+    ptrs = []
+    for a in (mode16, chroma_mode, dc, ac, cdc, cac):
+        arr, p = _i32(a)
+        holders.append(arr)
+        ptrs.append(p)
+    n = lib.mtpu_write_slice_i(
+        ctypes.c_uint64(bw._acc), bw._nbits, *ptrs, R, C,
+        l_nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c_nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n < 0:
+        raise RuntimeError("native I-slice packer overflow")
+    bw._buf.extend(out[:n].tobytes())
+    bw._acc = 0
+    bw._nbits = 0
+    return True
+
+
+def write_pslice_native(bw, mv, luma, cdc, cac) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    R, C = mv.shape[:2]
+    cap = R * C * 4096 + 65536
+    out = np.empty(cap, np.uint8)
+    l_nnz = np.empty(R * 4 * C * 4, np.int32)
+    c_nnz = np.empty(2 * R * 2 * C * 2, np.int32)
+    mv_scratch = np.empty(R * C * 2, np.int32)
+    holders = []
+    ptrs = []
+    for a in (mv, luma, cdc, cac):
+        arr, p = _i32(a)
+        holders.append(arr)
+        ptrs.append(p)
+    n = lib.mtpu_write_slice_p(
+        ctypes.c_uint64(bw._acc), bw._nbits, *ptrs, R, C,
+        l_nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c_nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mv_scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n < 0:
+        raise RuntimeError("native P-slice packer overflow")
+    bw._buf.extend(out[:n].tobytes())
+    bw._acc = 0
+    bw._nbits = 0
+    return True
+
+
+def escape_rbsp_native(data: bytes) -> bytes | None:
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    cap = n + n // 2 + 64
+    out = np.empty(cap, np.uint8)
+    src = np.frombuffer(data, np.uint8)
+    m = lib.mtpu_escape_rbsp(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if m < 0:
+        return None
+    return out[:m].tobytes()

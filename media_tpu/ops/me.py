@@ -64,9 +64,15 @@ def full_search(cur_mbs, windows, radius: int, lambda_mv: int = 4):
         best_off = jnp.where(better[:, None], off[None, :], best_off)
         return (best_cost, best_off), None
 
+    # Initialize the carry from the zero-MV candidate (not from constants:
+    # under shard_map a constant carry would be cross-device "unvarying" and
+    # fail to unify with the varying scan body).
+    center = windows[:, radius : radius + 16, radius : radius + 16]
     init = (
-        jnp.full((n,), 1 << 30, jnp.int32),
-        jnp.zeros((n, 2), jnp.int32),
+        jnp.sum(jnp.abs(center - cur_mbs), axis=(1, 2)),
+        jnp.broadcast_to(
+            jnp.array([radius, radius], jnp.int32), (n, 2)
+        ) + jnp.zeros_like(cur_mbs[:, :2, 0]),
     )
     (cost, off), _ = jax.lax.scan(body, init, jnp.asarray(offsets))
     mv = jnp.stack([off[:, 1] - radius, off[:, 0] - radius], axis=-1)  # (mvx, mvy)

@@ -90,16 +90,22 @@ class EncoderSession:
             disable_deblocking_filter_idc=1,
         )
         hdr.write(bw, self.sps, self.pps)
-        slice_coder.write_islice_mbs(
-            bw,
-            mode16=result.mode16,
-            chroma_mode=result.chroma_mode,
-            dc_levels=result.dc_levels,
-            ac_levels=result.ac_levels,
-            cdc_levels=result.cdc_levels,
-            cac_levels=result.cac_levels,
-        )
-        bw.rbsp_trailing_bits()
+        from .. import native
+
+        if not native.write_islice_native(
+            bw, result.mode16, result.chroma_mode, result.dc_levels,
+            result.ac_levels, result.cdc_levels, result.cac_levels,
+        ):
+            slice_coder.write_islice_mbs(
+                bw,
+                mode16=result.mode16,
+                chroma_mode=result.chroma_mode,
+                dc_levels=result.dc_levels,
+                ac_levels=result.ac_levels,
+                cdc_levels=result.cdc_levels,
+                cac_levels=result.cac_levels,
+            )
+            bw.rbsp_trailing_bits()
         self.idr_pic_id = (self.idr_pic_id + 1) & 0xFFFF
         self._frame_num = 1  # next frame
 
@@ -137,12 +143,17 @@ class EncoderSession:
             disable_deblocking_filter_idc=1,
         )
         hdr.write(bw, self.sps, self.pps)
-        slice_coder.write_pslice_mbs(
-            bw,
-            mv=result.mv,
-            luma_levels=result.luma_levels,
-            cdc_levels=result.cdc_levels,
-            cac_levels=result.cac_levels,
-        )
-        bw.rbsp_trailing_bits()
+        from .. import native
+
+        if not native.write_pslice_native(
+            bw, result.mv, result.luma_levels, result.cdc_levels, result.cac_levels
+        ):
+            slice_coder.write_pslice_mbs(
+                bw,
+                mv=result.mv,
+                luma_levels=result.luma_levels,
+                cdc_levels=result.cdc_levels,
+                cac_levels=result.cac_levels,
+            )
+            bw.rbsp_trailing_bits()
         return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)

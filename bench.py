@@ -54,21 +54,22 @@ def main():
     n = int(os.environ.get("MEDIA_TPU_BENCH_FRAMES", 12))
     qp = int(os.environ.get("MEDIA_TPU_BENCH_QP", 30))
 
-    frames = synthetic_video(w, h, n + 2)
+    frames = synthetic_video(w, h, 2 * n + 1)
     sess = EncoderSession(EncoderConfig(width=w, height=h, qp=qp, gop_size=300))
 
-    # Warm-up: compile IDR + P paths.
+    # Warm-up: compile the IDR path and the batched-P path at batch size n.
     sess.encode_frame(yuv.pack_i420(*frames[0]))
-    sess.encode_frame(yuv.pack_i420(*frames[1]))
+    warm = [yuv.pack_i420(y, u, v) for y, u, v in frames[1 : 1 + n]]
+    sess.encode_frames(warm)
 
+    bufs = [yuv.pack_i420(y, u, v) for y, u, v in frames[1 + n : 1 + 2 * n]]
     t0 = time.perf_counter()
-    total_bytes = 0
-    for y, u, v in frames[2 : 2 + n]:
-        total_bytes += len(sess.encode_frame(yuv.pack_i420(y, u, v)))
+    aus = sess.encode_frames(bufs)
     elapsed = time.perf_counter() - t0
+    total_bytes = sum(len(a) for a in aus)
     fps = n / elapsed
 
-    psnr = yuv.psnr(sess.recon[0][:h, :w], frames[1 + n][0])
+    psnr = yuv.psnr(np.asarray(sess.recon[0])[:h, :w], frames[2 * n][0])
     print(
         json.dumps(
             {

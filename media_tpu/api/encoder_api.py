@@ -1,0 +1,158 @@
+"""VideoEncoder lifecycle API — behavioral parity with the reference's
+encoder contract (video_codec/VideoCodecApi.h:22-78):
+
+  InitEncoder -> StartEncoder -> EncodeOneFrame* -> StopEncoder -> DestroyEncoder
+  plus ResetEncoder (= stop+init+start, VideoEncoderOpenH264.cpp:388-404).
+
+Per-frame semantics reproduced from the OpenH264 adapter's hot loop
+(VideoEncoderOpenH264.cpp:304-352):
+  - input size guard (>= w*h*3/2),
+  - per-frame poll of the param-adjust key -> re-read params, reset if changed,
+  - per-frame poll of the force-keyframe key -> IDR now,
+  - output bytes are valid until the next EncodeOneFrame call.
+"""
+
+from __future__ import annotations
+
+from ..core import params as P
+from ..core.log import Logger
+from ..pipeline.codec import EncoderConfig, EncoderSession
+from .errors import CodecFormat, EncoderRetCode
+
+log = Logger("VideoEncoder")
+
+
+class VideoEncoder:
+    """TPU-backed H.264 encoder behind the reference lifecycle contract."""
+
+    def __init__(self, store: P.ParamStore | None = None,
+                 codec: CodecFormat = CodecFormat.H264):
+        self._store = store if store is not None else P.ParamStore()
+        self._codec = codec
+        self._session: EncoderSession | None = None
+        self._params: P.EncodeParams | None = None
+        self._started = False
+        self._last_output: bytes = b""
+
+    # ------------------------------------------------------------- lifecycle
+
+    def init_encoder(self) -> EncoderRetCode:
+        if self._codec != CodecFormat.H264:
+            log.err("codec %s not yet supported", self._codec)
+            return EncoderRetCode.VIDEO_ENCODER_UNSUPPORTED
+        try:
+            self._params = P.read_encode_params(self._store)
+        except ValueError as e:
+            log.err("invalid encode params: %s", e)
+            return EncoderRetCode.VIDEO_ENCODER_INIT_FAIL
+        p = self._params
+        qp = _bitrate_to_qp(p.bitrate, p.width, p.height, p.framerate)
+        self._session = EncoderSession(
+            EncoderConfig(width=p.width, height=p.height, qp=qp,
+                          gop_size=p.gop_size, profile=p.profile)
+        )
+        log.info("init %dx%d@%d gop=%d profile=%s qp=%d",
+                 p.width, p.height, p.framerate, p.gop_size, p.profile, qp)
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    def start_encoder(self) -> EncoderRetCode:
+        if self._session is None:
+            return EncoderRetCode.VIDEO_ENCODER_NOT_INITED
+        self._started = True
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    def encode_one_frame(self, data) -> tuple[EncoderRetCode, bytes]:
+        """Returns (code, annexb_bytes). The bytes reference is valid until
+        the next call, matching the reference's buffer-aliasing contract."""
+        if not self._started or self._session is None:
+            return EncoderRetCode.VIDEO_ENCODER_NOT_INITED, b""
+        p = self._params
+        if len(data) < p.width * p.height * 3 // 2:
+            log.err("input size %d < frame size %d", len(data),
+                    p.width * p.height * 3 // 2)
+            return EncoderRetCode.VIDEO_ENCODER_INVALID_PARAM, b""
+
+        # Per-frame reconfiguration poll (the reference polls properties every
+        # frame: VideoEncoderOpenH264.cpp:312-341).
+        if self._store.get_str(P.KEY_PARAM_ADJUSTING) == "1":
+            self._store.set(P.KEY_PARAM_ADJUSTING, "0")
+            code = self._maybe_reconfigure()
+            if code != EncoderRetCode.VIDEO_ENCODER_SUCCESS:
+                return code, b""
+        if self._store.get_str(P.KEY_FORCE_KEYFRAME) == "1":
+            self._store.set(P.KEY_FORCE_KEYFRAME, "0")
+            self._session.force_keyframe()
+            log.info("forced keyframe")
+
+        try:
+            self._last_output = self._session.encode_frame(data)
+        except Exception as e:  # encode must not propagate, per the C contract
+            log.err("encode failed: %s", e)
+            return EncoderRetCode.VIDEO_ENCODER_ENCODE_FAIL, b""
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS, self._last_output
+
+    def stop_encoder(self) -> EncoderRetCode:
+        self._started = False
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    def destroy_encoder(self) -> EncoderRetCode:
+        # Idempotent, like the reference's guarded destroy.
+        self._session = None
+        self._started = False
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    def reset_encoder(self) -> EncoderRetCode:
+        """Destroy+init+start (reference ResetEncoder semantics)."""
+        self.destroy_encoder()
+        code = self.init_encoder()
+        if code != EncoderRetCode.VIDEO_ENCODER_SUCCESS:
+            return EncoderRetCode.VIDEO_ENCODER_RESET_FAIL
+        return self.start_encoder()
+
+    # --------------------------------------------------------------- helpers
+
+    def _maybe_reconfigure(self) -> EncoderRetCode:
+        try:
+            new = P.read_encode_params(self._store)
+        except ValueError as e:
+            log.err("param adjust rejected: %s", e)
+            return EncoderRetCode.VIDEO_ENCODER_INVALID_PARAM
+        if new != self._params:
+            log.info("params changed -> reset")
+            self._params = new
+            return self.reset_encoder()
+        return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    @property
+    def session(self) -> EncoderSession | None:
+        return self._session
+
+
+def _bitrate_to_qp(bitrate: int, width: int, height: int, fps: int) -> int:
+    """Map a target bitrate to a fixed QP (placeholder until the CBR rate
+    controller lands): bits-per-pixel -> QP on a log curve."""
+    import math
+
+    bpp = bitrate / (width * height * fps)
+    qp = int(round(18 - 6 * math.log2(max(bpp, 1e-4) / 0.8)))
+    return max(10, min(44, qp))
+
+
+def create_video_encoder(store: P.ParamStore | None = None) -> VideoEncoder | None:
+    """Factory honoring the backend-select key (reference:
+    VideoCodecApi.cpp:21-38; 0 was OpenH264-SW, 1/2 the HW H.264/H.265)."""
+    store = store if store is not None else P.ParamStore()
+    fmt = store.get_int(P.KEY_ENCODE_FORMAT, 1)
+    if fmt in (0, 1):
+        return VideoEncoder(store, CodecFormat.H264)
+    if fmt == 2:
+        log.err("H.265 backend not yet available")
+        return None
+    log.err("unknown encode format %d", fmt)
+    return None
+
+
+def destroy_video_encoder(encoder: VideoEncoder) -> EncoderRetCode:
+    if encoder is None:
+        return EncoderRetCode.VIDEO_ENCODER_DESTROY_FAIL
+    return encoder.destroy_encoder()

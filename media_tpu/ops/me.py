@@ -43,39 +43,42 @@ def full_search(cur_mbs, windows, radius: int, lambda_mv: int = 4):
     windows: (N, 16+2R, 16+2R) int32 reference windows.
     Returns (mv, sad): mv (N, 2) int32 full-pel (mvx, mvy) relative offsets in
     luma pels, sad (N,) best cost (SAD + lambda * |mv|_1 rate bias).
+
+    The scan is over dy rows only; all 2R+1 horizontal candidates of a row are
+    evaluated in one vectorized (N, 16, 2R+1, 16) tensor op — a latency-bound
+    (2R+1)^2-step loop would leave the VPU idle.
     """
     n = cur_mbs.shape[0]
-    offsets = np.stack(
-        np.meshgrid(np.arange(2 * radius + 1), np.arange(2 * radius + 1), indexing="ij"),
-        axis=-1,
-    ).reshape(-1, 2).astype(np.int32)  # (K, 2) as (dy, dx) window coords
+    K = 2 * radius + 1
+    mvx_cost = (lambda_mv * jnp.abs(jnp.arange(K) - radius)).astype(jnp.int32)
 
-    def body(carry, off):
-        best_cost, best_off = carry
-        dy, dx = off[0], off[1]
-        cand = jax.lax.dynamic_slice(
-            windows, (jnp.int32(0), dy, dx), (n, 16, 16)
-        )
-        sad = jnp.sum(jnp.abs(cand - cur_mbs), axis=(1, 2))
-        mv_cost = lambda_mv * (jnp.abs(dy - radius) + jnp.abs(dx - radius))
-        cost = sad + mv_cost
+    def row_costs(dy):
+        wslice = jax.lax.dynamic_slice_in_dim(windows, dy, 16, axis=1)  # (N,16,16+2R)
+        # Static slices (not a gather) keep this on the fast vector path.
+        cand = jnp.stack(
+            [wslice[:, :, dx : dx + 16] for dx in range(K)], axis=2
+        )  # (N, 16, K, 16)
+        sad = jnp.sum(jnp.abs(cand - cur_mbs[:, :, None, :]), axis=(1, 3))  # (N,K)
+        cost = sad + mvx_cost[None, :] + lambda_mv * jnp.abs(dy - radius)
+        dx = jnp.argmin(cost, axis=1).astype(jnp.int32)  # first-min tie-break
+        best = jnp.take_along_axis(cost, dx[:, None], axis=1)[:, 0]
+        return best, dx
+
+    def body(carry, dy):
+        best_cost, best_dy, best_dx = carry
+        cost, dx = row_costs(dy)
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
-        best_off = jnp.where(better[:, None], off[None, :], best_off)
-        return (best_cost, best_off), None
+        best_dy = jnp.where(better, dy, best_dy)
+        best_dx = jnp.where(better, dx, best_dx)
+        return (best_cost, best_dy, best_dx), None
 
-    # Initialize the carry from the zero-MV candidate (not from constants:
-    # under shard_map a constant carry would be cross-device "unvarying" and
-    # fail to unify with the varying scan body).
-    center = windows[:, radius : radius + 16, radius : radius + 16]
-    init = (
-        jnp.sum(jnp.abs(center - cur_mbs), axis=(1, 2)),
-        jnp.broadcast_to(
-            jnp.array([radius, radius], jnp.int32), (n, 2)
-        ) + jnp.zeros_like(cur_mbs[:, :2, 0]),
-    )
-    (cost, off), _ = jax.lax.scan(body, init, jnp.asarray(offsets))
-    mv = jnp.stack([off[:, 1] - radius, off[:, 0] - radius], axis=-1)  # (mvx, mvy)
+    # Initialize the carry from row 0 (not from constants: under shard_map a
+    # constant carry would be cross-device "unvarying" and fail to unify).
+    cost0, dx0 = row_costs(jnp.int32(0))
+    init = (cost0, jnp.zeros_like(dx0), dx0)
+    (cost, dy, dx), _ = jax.lax.scan(body, init, jnp.arange(1, K, dtype=jnp.int32))
+    mv = jnp.stack([dx - radius, dy - radius], axis=-1)  # (mvx, mvy)
     return mv, cost
 
 

@@ -72,6 +72,82 @@ class EncoderSession:
         self.frame_idx += 1
         return data
 
+    def encode_frames(self, i420_frames) -> list[bytes]:
+        """Encode a sequence of frames, batching runs of P frames into single
+        device dispatches (GOP batching). Same bitstream as repeated
+        encode_frame calls; far higher throughput when host<->device latency
+        dominates. Returns one Annex-B AU per input frame."""
+        cfg = self.cfg
+        planes = []
+        for buf in i420_frames:
+            y, u, v = yuv.split_i420(buf, cfg.width, cfg.height)
+            planes.append((
+                yuv.pad_to_mb_grid(y, 16),
+                yuv.pad_to_mb_grid(u, 8),
+                yuv.pad_to_mb_grid(v, 8),
+            ))
+        out: list[bytes] = []
+        i = 0
+        while i < len(planes):
+            idr_due = (
+                self.frame_idx % cfg.gop_size == 0
+                or self._force_idr
+                or self.recon is None
+            )
+            if idr_due:
+                self._force_idr = False
+                out.append(self._encode_idr(*planes[i]))
+                self.frame_idx += 1
+                i += 1
+                continue
+            until_idr = cfg.gop_size - (self.frame_idx % cfg.gop_size)
+            k = min(len(planes) - i, until_idr)
+            ys = np.stack([p[0] for p in planes[i : i + k]])
+            us = np.stack([p[1] for p in planes[i : i + k]])
+            vs = np.stack([p[2] for p in planes[i : i + k]])
+            symbols, recon = self._frame_encoder.encode_pframes_batch(
+                ys, us, vs, *self.recon, cfg.qp
+            )
+            self.recon = recon
+            from .pframe_core import unpack_symbols
+
+            for j in range(k):
+                fields = unpack_symbols(symbols[j])
+                out.append(self._pslice_au(fields))
+                self.frame_idx += 1
+            i += k
+        return out
+
+    def _pslice_au(self, fields: dict) -> bytes:
+        cfg = self.cfg
+        bw = BitWriter()
+        frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
+            1 << self.sps.log2_max_frame_num
+        )
+        hdr = SliceHeader(
+            slice_type=5,
+            idr=False,
+            frame_num=frame_num,
+            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
+            disable_deblocking_filter_idc=1,
+        )
+        hdr.write(bw, self.sps, self.pps)
+        from .. import native
+
+        if not native.write_pslice_native(
+            bw, fields["mv"], fields["luma_levels"], fields["cdc_levels"],
+            fields["cac_levels"],
+        ):
+            slice_coder.write_pslice_mbs(
+                bw,
+                mv=fields["mv"],
+                luma_levels=fields["luma_levels"],
+                cdc_levels=fields["cdc_levels"],
+                cac_levels=fields["cac_levels"],
+            )
+            bw.rbsp_trailing_bits()
+        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+
     # ------------------------------------------------------------------- IDR
 
     def _encode_idr(self, y, u, v) -> bytes:
@@ -130,30 +206,10 @@ class EncoderSession:
             y, u, v, ref_y, ref_u, ref_v, cfg.qp
         )
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
-
-        bw = BitWriter()
-        frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
-            1 << self.sps.log2_max_frame_num
-        )
-        hdr = SliceHeader(
-            slice_type=5,  # P (all slices in picture are P)
-            idr=False,
-            frame_num=frame_num,
-            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
-            disable_deblocking_filter_idc=1,
-        )
-        hdr.write(bw, self.sps, self.pps)
-        from .. import native
-
-        if not native.write_pslice_native(
-            bw, result.mv, result.luma_levels, result.cdc_levels, result.cac_levels
-        ):
-            slice_coder.write_pslice_mbs(
-                bw,
-                mv=result.mv,
-                luma_levels=result.luma_levels,
-                cdc_levels=result.cdc_levels,
-                cac_levels=result.cac_levels,
-            )
-            bw.rbsp_trailing_bits()
-        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+        fields = {
+            "mv": result.mv,
+            "luma_levels": result.luma_levels,
+            "cdc_levels": result.cdc_levels,
+            "cac_levels": result.cac_levels,
+        }
+        return self._pslice_au(fields)

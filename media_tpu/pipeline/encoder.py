@@ -83,15 +83,19 @@ def _blocks8_mb(blocks):
 
 @dataclass
 class PFrameResult:
-    """Per-MB symbol arrays for an inter frame (P_L0_16x16 everywhere)."""
+    """Per-MB symbol arrays for an inter frame (P_L0_16x16 everywhere).
+
+    Symbol fields are host numpy; recon planes are device-resident uint8
+    arrays (they are the next frame's reference — never downloaded on the
+    encode hot path)."""
 
     mv: np.ndarray  # (R, C, 2) full-pel luma MVs (mvx, mvy)
     luma_levels: np.ndarray  # (R, C, 16, 16) quantized levels per 4x4, zig-zag
     cdc_levels: np.ndarray  # (R, C, 2, 4)
     cac_levels: np.ndarray  # (R, C, 2, 4, 15)
-    recon_y: np.ndarray
-    recon_u: np.ndarray
-    recon_v: np.ndarray
+    recon_y: object  # jax.Array (H, W) uint8
+    recon_u: object
+    recon_v: object
 
 
 @dataclass
@@ -104,9 +108,9 @@ class IFrameResult:
     ac_levels: np.ndarray  # (R, C, 16, 15) luma AC per raster 4x4 blk, zig-zag
     cdc_levels: np.ndarray  # (R, C, 2, 4) chroma DC (u,v), raster scan
     cac_levels: np.ndarray  # (R, C, 2, 4, 15) chroma AC per raster 4x4 blk
-    recon_y: np.ndarray  # (R*16, C*16) uint8
-    recon_u: np.ndarray  # (R*8, C*8) uint8
-    recon_v: np.ndarray  # (R*8, C*8) uint8
+    recon_y: object  # jax.Array (R*16, C*16) uint8, device-resident
+    recon_u: object  # jax.Array (R*8, C*8) uint8
+    recon_v: object  # jax.Array (R*8, C*8) uint8
 
 
 class FrameEncoder:
@@ -135,17 +139,16 @@ class FrameEncoder:
             jnp.int32(qp),
             jnp.int32(qp_c),
         )
-        out = jax.tree_util.tree_map(np.asarray, out)
         return IFrameResult(
-            mode16=out["mode16"],
-            chroma_mode=out["chroma_mode"],
-            dc_levels=out["dc_levels"],
-            ac_levels=out["ac_levels"],
-            cdc_levels=out["cdc_levels"],
-            cac_levels=out["cac_levels"],
-            recon_y=out["recon_y"].astype(np.uint8),
-            recon_u=out["recon_u"].astype(np.uint8),
-            recon_v=out["recon_v"].astype(np.uint8),
+            mode16=np.asarray(out["mode16"]),
+            chroma_mode=np.asarray(out["chroma_mode"]),
+            dc_levels=np.asarray(out["dc_levels"]),
+            ac_levels=np.asarray(out["ac_levels"]),
+            cdc_levels=np.asarray(out["cdc_levels"]),
+            cac_levels=np.asarray(out["cac_levels"]),
+            recon_y=out["recon_y"],  # device-resident uint8
+            recon_u=out["recon_u"],
+            recon_v=out["recon_v"],
         )
 
     # ------------------------------------------------------------------ inter
@@ -156,82 +159,89 @@ class FrameEncoder:
 
         Fully parallel across MBs (no wavefront): with in-loop deblocking off,
         inter reconstruction is MC(ref) + residual, which has no intra-frame
-        dependencies — the TPU-native fast path.
+        dependencies — the TPU-native fast path. One packed int16 symbol
+        tensor is downloaded; recon planes stay on device.
         """
         qp_c = int(T.chroma_qp(qp))
         out = self._encode_pframe_device(
-            jnp.asarray(y, jnp.int32),
-            jnp.asarray(u, jnp.int32),
-            jnp.asarray(v, jnp.int32),
-            jnp.asarray(ref_y, jnp.int32),
-            jnp.asarray(ref_u, jnp.int32),
-            jnp.asarray(ref_v, jnp.int32),
-            jnp.int32(qp),
-            jnp.int32(qp_c),
-            search_range,
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
+            jnp.int32(qp), jnp.int32(qp_c), search_range,
         )
-        out = jax.tree_util.tree_map(np.asarray, out)
+        from .pframe_core import unpack_symbols
+
+        fields = unpack_symbols(out["symbols"])
         return PFrameResult(
-            mv=out["mv"],
-            luma_levels=out["luma_levels"],
-            cdc_levels=out["cdc_levels"],
-            cac_levels=out["cac_levels"],
-            recon_y=out["recon_y"].astype(np.uint8),
-            recon_u=out["recon_u"].astype(np.uint8),
-            recon_v=out["recon_v"].astype(np.uint8),
+            recon_y=out["recon_y"],
+            recon_u=out["recon_u"],
+            recon_v=out["recon_v"],
+            **fields,
         )
+
+    def encode_pframes_batch(self, ys, us, vs, ref_y, ref_u, ref_v, qp: int,
+                             search_range: int = 8):
+        """Encode K consecutive P frames in ONE device dispatch.
+
+        The IPPP recon dependency is carried through a lax.scan on device, so
+        the host pays a single upload and a single packed-symbol download for
+        the whole batch — amortizing host<->device round-trip latency, which
+        dominates per-frame dispatch through the TPU tunnel.
+
+        ys/us/vs: (K, H, W) / (K, H/2, W/2) arrays. Returns (symbols numpy
+        (K, R, C, S), (recon_y, recon_u, recon_v) device arrays after frame K).
+        """
+        qp_c = int(T.chroma_qp(qp))
+        symbols, recon = self._encode_pbatch_device(
+            jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+            jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
+            jnp.int32(qp), jnp.int32(qp_c), search_range,
+        )
+        return np.asarray(symbols), recon
+
+    @functools.partial(jax.jit, static_argnums=(0, 9))
+    def _encode_pbatch_device(self, ys, us, vs, ref_y, ref_u, ref_v, qp, qp_c,
+                              search_range):
+        from .pframe_core import local_pframe_core
+
+        rs = search_range
+        halo_c = rs // 2 + 1
+
+        def step(carry, frame):
+            ry, ru, rv = carry
+            ry_ext = jnp.pad(ry.astype(jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+            ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            y, u, v = frame
+            out = local_pframe_core(
+                y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+                ry_ext, ru_ext, rv_ext, qp, qp_c, rs, self.n_rows, self.n_cols,
+            )
+            return (out["recon_y"], out["recon_u"], out["recon_v"]), out["symbols"]
+
+        init = (
+            jnp.asarray(ref_y, jnp.uint8),
+            jnp.asarray(ref_u, jnp.uint8),
+            jnp.asarray(ref_v, jnp.uint8),
+        )
+        recon, symbols = jax.lax.scan(step, init, (ys, us, vs))
+        return symbols, recon
 
     @functools.partial(jax.jit, static_argnums=(0, 9))
     def _encode_pframe_device(self, y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
                               search_range):
-        R, C = self.n_rows, self.n_cols
-        n = R * C
-        cur = y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
-        cur_u = u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
-        cur_v = v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+        from .pframe_core import local_pframe_core
 
-        windows = me_ops.gather_mb_windows(ref_y, R, C, 16, search_range)
-        mv, _cost = me_ops.full_search(cur, windows, search_range)
-        pred = me_ops.mc_luma(windows, mv, search_range)
-        pred_u = me_ops.mc_chroma(ref_u, mv, R, C)
-        pred_v = me_ops.mc_chroma(ref_v, mv, R, C)
-
-        # Luma residual: plain 4x4 transform + inter quant (16-coeff blocks).
-        res = _mb_blocks(cur - pred)
-        w = T.forward_4x4(res)
-        z = T.quant_4x4(w, qp, intra=False)
-        recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp))), 0, 255)
-
-        def chroma_code(o_c, pred_c):
-            res_c = _mb_blocks8(o_c - pred_c)
-            w_c = T.forward_4x4(res_c)
-            dc2 = w_c[:, :, 0, 0].reshape(-1, 2, 2)
-            z2 = T.quant_dc_2x2(T.hadamard_2x2(dc2), qp_c, intra=False)
-            d2 = T.dequant_dc_2x2(T.hadamard_2x2(z2), qp_c)
-            z_cac = T.quant_4x4(w_c, qp_c, intra=False)
-            z_cac = z_cac.at[:, :, 0, 0].set(0)
-            d_c = T.dequant_4x4(z_cac, qp_c)
-            d_c = d_c.at[:, :, 0, 0].set(d2.reshape(-1, 4))
-            recon_c = jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
-            return z2.reshape(-1, 4), z_cac, recon_c
-
-        zdc_u, zac_u, recon_u = chroma_code(cur_u, pred_u)
-        zdc_v, zac_v, recon_v = chroma_code(cur_v, pred_v)
-
-        def grid(x):
-            return x.reshape(R, C, *x.shape[1:])
-
-        return {
-            "mv": grid(mv),
-            "luma_levels": grid(T.zigzag(z)),
-            "cdc_levels": grid(jnp.stack([zdc_u, zdc_v], axis=1)),
-            "cac_levels": grid(
-                jnp.stack([T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1)
-            ),
-            "recon_y": grid(recon).transpose(0, 2, 1, 3).reshape(self.height, self.width),
-            "recon_u": grid(recon_u).transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2),
-            "recon_v": grid(recon_v).transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2),
-        }
+        rs = search_range
+        halo_c = rs // 2 + 1
+        ref_y_ext = jnp.pad(jnp.asarray(ref_y, jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+        ref_u_ext = jnp.pad(jnp.asarray(ref_u, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+        ref_v_ext = jnp.pad(jnp.asarray(ref_v, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+        return local_pframe_core(
+            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32),
+            ref_y_ext, ref_u_ext, ref_v_ext,
+            qp, qp_c, rs, self.n_rows, self.n_cols,
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_iframe_device(self, y, u, v, qp, qp_c):
@@ -373,12 +383,15 @@ class FrameEncoder:
             )
         }
         out["recon_y"] = (
-            state["recon_y"].transpose(0, 2, 1, 3).reshape(self.height, self.width)
+            state["recon_y"].transpose(0, 2, 1, 3)
+            .reshape(self.height, self.width).astype(jnp.uint8)
         )
         out["recon_u"] = (
-            state["recon_u"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+            state["recon_u"].transpose(0, 2, 1, 3)
+            .reshape(self.height // 2, self.width // 2).astype(jnp.uint8)
         )
         out["recon_v"] = (
-            state["recon_v"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+            state["recon_v"].transpose(0, 2, 1, 3)
+            .reshape(self.height // 2, self.width // 2).astype(jnp.uint8)
         )
         return out

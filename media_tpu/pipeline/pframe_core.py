@@ -1,0 +1,173 @@
+"""Shared P-frame compute core: ME + MC + transform/quant + reconstruction.
+
+Used by both the single-chip path (pipeline/encoder.py) and the multi-chip
+MB-row-tile path (parallel/sharding.py); the tile path passes halo-extended
+reference planes, the single-chip path passes edge-padded ones — the math is
+identical, which is what makes the sharded output bit-exact vs single chip.
+
+Outputs are packed for the host: one int16 symbol tensor per frame
+(minimizing device->host transfers, which dominate per-array latency through
+the TPU tunnel) and uint8 recon planes that normally stay device-resident as
+the next frame's reference.
+
+Symbol layout per MB (int16, SYMBOLS_PER_MB total):
+  [ mvx, mvy,
+    luma levels  16 blocks x 16 coeffs (zig-zag, raster block order),
+    chroma DC    2 comps x 4,
+    chroma AC    2 comps x 4 blocks x 15 ]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import me as me_ops
+from ..ops import transform as T
+
+SYMBOLS_PER_MB = 2 + 256 + 8 + 120  # = 386
+_OFF_MV = 0
+_OFF_LUMA = 2
+_OFF_CDC = 2 + 256
+_OFF_CAC = 2 + 256 + 8
+
+
+def _mb_blocks(mb):
+    n = mb.shape[0]
+    return mb.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 4, 4)
+
+
+def _blocks_mb(blocks):
+    n = blocks.shape[0]
+    return blocks.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+
+
+def _mb_blocks8(mb):
+    n = mb.shape[0]
+    return mb.reshape(n, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(n, 4, 4, 4)
+
+
+def _blocks8_mb(blocks):
+    n = blocks.shape[0]
+    return blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
+
+
+def unpack_symbols(symbols):
+    """(R, C, SYMBOLS_PER_MB) int16 -> dict of int32 numpy views."""
+    import numpy as np
+
+    s = np.asarray(symbols)
+    R, C = s.shape[:2]
+    return {
+        "mv": s[..., _OFF_MV:_OFF_LUMA].astype(np.int32),
+        "luma_levels": s[..., _OFF_LUMA:_OFF_CDC].reshape(R, C, 16, 16).astype(np.int32),
+        "cdc_levels": s[..., _OFF_CDC:_OFF_CAC].reshape(R, C, 2, 4).astype(np.int32),
+        "cac_levels": s[..., _OFF_CAC:].reshape(R, C, 2, 4, 15).astype(np.int32),
+    }
+
+
+def mc_chroma_ext(ref_c_ext, mv, R, C, halo: int):
+    """Chroma MC against a plane extended with `halo` rows above and below."""
+    mv_c8 = 4 * mv
+    ix = mv_c8[:, 0] >> 3
+    iy = mv_c8[:, 1] >> 3
+    fx = (mv_c8[:, 0] & 7)[:, None, None]
+    fy = (mv_c8[:, 1] & 7)[:, None, None]
+    pad = jnp.pad(ref_c_ext, ((0, 1), (halo, halo + 1)), mode="edge")
+    h = ref_c_ext.shape[0]
+    w = ref_c_ext.shape[1]
+    n = R * C
+    r = jnp.arange(n, dtype=jnp.int32) // C
+    c = jnp.arange(n, dtype=jnp.int32) % C
+    ys = jnp.clip(r[:, None] * 8 + halo + iy[:, None] + jnp.arange(9)[None, :], 0, h)
+    xs = jnp.clip(c[:, None] * 8 + halo + ix[:, None] + jnp.arange(9)[None, :], 0, w + 2 * halo)
+    patch = pad[ys[:, :, None], xs[:, None, :]]
+    a = patch[:, :8, :8]
+    b = patch[:, :8, 1:9]
+    cc = patch[:, 1:9, :8]
+    d = patch[:, 1:9, 1:9]
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * cc + fx * fy * d + 32) >> 6
+
+
+def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
+                      qp, qp_c, search_range: int, n_rows: int, n_cols: int):
+    """P-frame encode for a tile of `n_rows` MB rows.
+
+    ref_y_ext has `search_range` extra rows above/below; ref_[uv]_ext have
+    `search_range // 2 + 1` extra rows. Returns packed symbols, recon planes
+    (uint8) and the tile's SAD total.
+    """
+    R, C = n_rows, n_cols
+    n = R * C
+    rs = search_range
+    halo_c = rs // 2 + 1
+    cur = cur_y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    cu = cur_u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+    cv = cur_v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+
+    pad = jnp.pad(ref_y_ext, ((0, 0), (rs, rs)), mode="edge")
+    if 2 * rs == 16:
+        # Gather-free window build: pad is exactly (R+1)x(C+1) 16-blocks, and
+        # each 32x32 window is a 2x2 group of adjacent blocks — pure
+        # reshape/concat, which XLA maps far better than a general gather.
+        blk = pad.reshape(R + 1, 16, (C + 1) * 16)
+        rows2 = jnp.concatenate([blk[:-1], blk[1:]], axis=1)  # (R, 32, (C+1)*16)
+        t = rows2.reshape(R, 32, C + 1, 16)
+        wins = jnp.concatenate([t[:, :, :-1], t[:, :, 1:]], axis=3)  # (R,32,C,32)
+        windows = wins.transpose(0, 2, 1, 3).reshape(n, 32, 32)
+    else:
+        r = jnp.arange(n, dtype=jnp.int32) // C
+        c = jnp.arange(n, dtype=jnp.int32) % C
+        span = jnp.arange(16 + 2 * rs, dtype=jnp.int32)
+        rows = r[:, None] * 16 + span[None, :]
+        cols = c[:, None] * 16 + span[None, :]
+        windows = pad[rows[:, :, None], cols[:, None, :]]
+
+    mv, cost = me_ops.full_search(cur, windows, rs)
+    pred = me_ops.mc_luma(windows, mv, rs)
+    pred_u = mc_chroma_ext(ref_u_ext, mv, R, C, halo_c)
+    pred_v = mc_chroma_ext(ref_v_ext, mv, R, C, halo_c)
+
+    res = _mb_blocks(cur - pred)
+    z = T.quant_4x4(T.forward_4x4(res), qp, intra=False)
+    recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp))), 0, 255)
+
+    def chroma_code(o_c, pred_c):
+        w_c = T.forward_4x4(_mb_blocks8(o_c - pred_c))
+        dc2 = w_c[:, :, 0, 0].reshape(-1, 2, 2)
+        z2 = T.quant_dc_2x2(T.hadamard_2x2(dc2), qp_c, intra=False)
+        d2 = T.dequant_dc_2x2(T.hadamard_2x2(z2), qp_c)
+        z_cac = T.quant_4x4(w_c, qp_c, intra=False).at[:, :, 0, 0].set(0)
+        d_c = T.dequant_4x4(z_cac, qp_c).at[:, :, 0, 0].set(d2.reshape(-1, 4))
+        recon_c = jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
+        return z2.reshape(-1, 4), z_cac, recon_c
+
+    zdc_u, zac_u, rec_u = chroma_code(cu, pred_u)
+    zdc_v, zac_v, rec_v = chroma_code(cv, pred_v)
+
+    symbols = jnp.concatenate(
+        [
+            mv.astype(jnp.int16),
+            T.zigzag(z).reshape(n, 256).astype(jnp.int16),
+            jnp.stack([zdc_u, zdc_v], axis=1).reshape(n, 8).astype(jnp.int16),
+            jnp.stack(
+                [T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1
+            ).reshape(n, 120).astype(jnp.int16),
+        ],
+        axis=-1,
+    ).reshape(R, C, SYMBOLS_PER_MB)
+
+    def plane(x, size):
+        return (
+            x.reshape(R, C, size, size).transpose(0, 2, 1, 3)
+            .reshape(R * size, C * size).astype(jnp.uint8)
+        )
+
+    return {
+        "symbols": symbols,
+        "recon_y": plane(recon, 16),
+        "recon_u": plane(rec_u, 8),
+        "recon_v": plane(rec_v, 8),
+        "sad_total": jnp.sum(cost),
+    }

@@ -75,3 +75,26 @@ def test_forced_keyframe_midstream():
     f = dec.decode_annexb(au)[0]
     assert f.idr
     np.testing.assert_array_equal(f.y, sess.recon[0])
+
+
+def test_batched_gop_matches_sequential():
+    """encode_frames (GOP-batched device scan) must produce byte-identical
+    bitstreams to frame-by-frame encode_frame calls."""
+    w, h = 128, 96
+    bufs = []
+    for t in range(5):
+        y, u, v = moving_scene(w, h, t, seed=9)
+        bufs.append(yuv.pack_i420(y, u, v))
+
+    s1 = EncoderSession(EncoderConfig(width=w, height=h, qp=28, gop_size=4))
+    seq = [s1.encode_frame(b) for b in bufs]
+    s2 = EncoderSession(EncoderConfig(width=w, height=h, qp=28, gop_size=4))
+    batched = s2.encode_frames(bufs)
+    assert len(batched) == len(seq)
+    for t, (a, b) in enumerate(zip(seq, batched)):
+        assert a == b, f"frame {t} differs (len {len(a)} vs {len(b)})"
+    # And the stream decodes bit-exact.
+    dec = ReferenceDecoder()
+    frames = dec.decode_annexb(b"".join(batched))
+    assert len(frames) == 5
+    np.testing.assert_array_equal(frames[-1].y, np.asarray(s2.recon[0]))

@@ -41,13 +41,16 @@ def test_sharded_matches_single_chip(n_dev):
     enc = FrameEncoder(w, h)
     single = enc.encode_pframe(cur_y, cur_u, cur_v, ref_y, ref_u, ref_v, qp)
 
-    np.testing.assert_array_equal(np.asarray(sharded["mv"]), single.mv)
-    np.testing.assert_array_equal(np.asarray(sharded["luma_levels"]), single.luma_levels)
-    np.testing.assert_array_equal(np.asarray(sharded["cdc_levels"]), single.cdc_levels)
-    np.testing.assert_array_equal(np.asarray(sharded["cac_levels"]), single.cac_levels)
-    np.testing.assert_array_equal(np.asarray(sharded["recon_y"]), single.recon_y)
-    np.testing.assert_array_equal(np.asarray(sharded["recon_u"]), single.recon_u)
-    np.testing.assert_array_equal(np.asarray(sharded["recon_v"]), single.recon_v)
+    from media_tpu.pipeline.pframe_core import unpack_symbols
+
+    fields = unpack_symbols(sharded["symbols"])
+    np.testing.assert_array_equal(fields["mv"], single.mv)
+    np.testing.assert_array_equal(fields["luma_levels"], single.luma_levels)
+    np.testing.assert_array_equal(fields["cdc_levels"], single.cdc_levels)
+    np.testing.assert_array_equal(fields["cac_levels"], single.cac_levels)
+    np.testing.assert_array_equal(np.asarray(sharded["recon_y"]), np.asarray(single.recon_y))
+    np.testing.assert_array_equal(np.asarray(sharded["recon_u"]), np.asarray(single.recon_u))
+    np.testing.assert_array_equal(np.asarray(sharded["recon_v"]), np.asarray(single.recon_v))
 
 
 def test_dryrun_entrypoints():

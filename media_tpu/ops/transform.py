@@ -177,7 +177,9 @@ def quant_4x4(w, qp, *, intra: bool, dc_only_table: bool = False):
     f = ((1 << qbits) // (3 if intra else 6))
     wa = jnp.abs(w)
     level = ((wa * mf + f) >> qbits).astype(jnp.int32)
-    return jnp.sign(w) * level
+    # Clamp so every CAVLC level codeword fits the 28-bit escape window
+    # (encoder-side choice; unreachable below QP~6 — see entropy/device_cavlc).
+    return jnp.sign(w) * jnp.minimum(level, 2063)
 
 
 def quant_dc_4x4(w_dc, qp, *, intra: bool = True):
@@ -196,6 +198,8 @@ def quant_dc_4x4(w_dc, qp, *, intra: bool = True):
     f = ((1 << qbits) // (3 if intra else 6))
     wa = jnp.abs(w)
     level = ((wa * mf0 + 4 * f) >> (qbits + 2)).astype(jnp.int32)
+    # No clamp: the I16 DC path is host-packed, where extended level escapes
+    # (prefix > 15) are supported; clamping would hurt very-low-QP DC fidelity.
     return jnp.sign(w) * level
 
 
@@ -208,7 +212,7 @@ def quant_dc_2x2(w_dc, qp, *, intra: bool):
     f = ((1 << qbits) // (3 if intra else 6))
     wa = jnp.abs(w)
     level = ((wa * mf0 + 2 * f) >> (qbits + 1)).astype(jnp.int32)
-    return jnp.sign(w) * level
+    return jnp.sign(w) * jnp.minimum(level, 2063)
 
 
 def dequant_4x4(z, qp):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from ..core.bitstream import BitWriter
@@ -28,6 +29,11 @@ class EncoderConfig:
     gop_size: int = 30
     level_idc: int = 40
     profile: str = "baseline"
+    # Where P-slice entropy packing runs: "device" keeps it on the TPU
+    # (downloads only the real bitstream — right when host<->device bandwidth
+    # is the wall), "host" downloads symbols for the native C++ packer (right
+    # on CPU backends), "auto" picks by backend.
+    entropy_mode: str = "auto"
 
 
 class EncoderSession:
@@ -105,20 +111,48 @@ class EncoderSession:
             ys = np.stack([p[0] for p in planes[i : i + k]])
             us = np.stack([p[1] for p in planes[i : i + k]])
             vs = np.stack([p[2] for p in planes[i : i + k]])
-            symbols, recon = self._frame_encoder.encode_pframes_batch(
-                ys, us, vs, *self.recon, cfg.qp
+            enc = self._frame_encoder
+            use_device = cfg.entropy_mode == "device" or (
+                cfg.entropy_mode == "auto"
+                and jax.default_backend() != "cpu"
             )
-            self.recon = recon
-            from .pframe_core import unpack_symbols
+            if use_device:
+                streams, bits, recon = enc.encode_pframes_packed(
+                    ys, us, vs, *self.recon, cfg.qp
+                )
+            else:
+                bits = np.array([1 << 62])  # force the symbols path below
+            if use_device and int(bits.max()) <= enc.cap_words * 32:
+                # On-device entropy path: merge each packed slice_data stream
+                # under a host-written slice header.
+                self.recon = recon
+                for j in range(k):
+                    out.append(self._pslice_au_packed(streams[j], int(bits[j])))
+                    self.frame_idx += 1
+            else:
+                # Rare overflow (bitrate above the 2bpp device budget): fall
+                # back to downloading symbols and packing on the host.
+                symbols, recon = enc.encode_pframes_batch(
+                    ys, us, vs, *self.recon, cfg.qp
+                )
+                self.recon = recon
+                from .pframe_core import unpack_symbols
 
-            for j in range(k):
-                fields = unpack_symbols(symbols[j])
-                out.append(self._pslice_au(fields))
-                self.frame_idx += 1
+                for j in range(k):
+                    fields = unpack_symbols(symbols[j])
+                    out.append(self._pslice_au(fields))
+                    self.frame_idx += 1
             i += k
         return out
 
-    def _pslice_au(self, fields: dict) -> bytes:
+    def _pslice_au_packed(self, stream_words, total_bits: int) -> bytes:
+        from ..entropy.device_cavlc import merge_slice_data
+
+        bw = self._pslice_header_writer()
+        merge_slice_data(bw, stream_words, total_bits)
+        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+
+    def _pslice_header_writer(self) -> BitWriter:
         cfg = self.cfg
         bw = BitWriter()
         frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
@@ -132,6 +166,10 @@ class EncoderSession:
             disable_deblocking_filter_idc=1,
         )
         hdr.write(bw, self.sps, self.pps)
+        return bw
+
+    def _pslice_au(self, fields: dict) -> bytes:
+        bw = self._pslice_header_writer()
         from .. import native
 
         if not native.write_pslice_native(

@@ -198,6 +198,60 @@ class FrameEncoder:
         )
         return np.asarray(symbols), recon
 
+    def encode_pframes_packed(self, ys, us, vs, ref_y, ref_u, ref_v, qp: int,
+                              search_range: int = 8):
+        """Encode K consecutive P frames with ON-DEVICE entropy coding.
+
+        Downloads only the packed slice_data bitstreams (~the real bitrate)
+        instead of per-MB symbols. Returns (streams (K, cap_words) uint32,
+        bits (K,) int32, recon device planes). bits[j] > cap_words*32 signals
+        overflow: the caller must fall back to the symbols path.
+        """
+        qp_c = int(T.chroma_qp(qp))
+        streams, bits, recon = self._encode_pbatch_packed_device(
+            jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+            jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
+            jnp.int32(qp), jnp.int32(qp_c), search_range,
+        )
+        return np.asarray(streams), np.asarray(bits), recon
+
+    @property
+    def cap_words(self) -> int:
+        # 2 bits/pixel budget for packed slice_data, 64 KiB minimum.
+        return max(self.width * self.height // 16, 16384)
+
+    @functools.partial(jax.jit, static_argnums=(0, 9))
+    def _encode_pbatch_packed_device(self, ys, us, vs, ref_y, ref_u, ref_v,
+                                     qp, qp_c, search_range):
+        from ..entropy.device_cavlc import pack_pslice_device
+        from .pframe_core import local_pframe_core, unpack_symbols_device
+
+        rs = search_range
+        halo_c = rs // 2 + 1
+        cap = self.cap_words
+
+        def step(carry, frame):
+            ry, ru, rv = carry
+            ry_ext = jnp.pad(ry.astype(jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+            ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            y, u, v = frame
+            out = local_pframe_core(
+                y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+                ry_ext, ru_ext, rv_ext, qp, qp_c, rs, self.n_rows, self.n_cols,
+            )
+            mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
+            stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap)
+            return (out["recon_y"], out["recon_u"], out["recon_v"]), (stream, bits)
+
+        init = (
+            jnp.asarray(ref_y, jnp.uint8),
+            jnp.asarray(ref_u, jnp.uint8),
+            jnp.asarray(ref_v, jnp.uint8),
+        )
+        recon, (streams, bits) = jax.lax.scan(step, init, (ys, us, vs))
+        return streams, bits, recon
+
     @functools.partial(jax.jit, static_argnums=(0, 9))
     def _encode_pbatch_device(self, ys, us, vs, ref_y, ref_u, ref_v, qp, qp_c,
                               search_range):

@@ -171,3 +171,16 @@ def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
         "recon_v": plane(rec_v, 8),
         "sad_total": jnp.sum(cost),
     }
+
+
+def unpack_symbols_device(symbols):
+    """Device-side view of the packed symbol tensor (for the on-device
+    entropy packer): returns int32 (mv, luma, cdc, cac) without host I/O."""
+    R, C = symbols.shape[:2]
+    s = symbols.astype(jnp.int32)
+    return (
+        s[..., _OFF_MV:_OFF_LUMA],
+        s[..., _OFF_LUMA:_OFF_CDC].reshape(R, C, 16, 16),
+        s[..., _OFF_CDC:_OFF_CAC].reshape(R, C, 2, 4),
+        s[..., _OFF_CAC:].reshape(R, C, 2, 4, 15),
+    )

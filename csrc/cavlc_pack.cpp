@@ -281,8 +281,7 @@ int64_t mtpu_write_slice_i(
   return bw.overflow ? -1 : bw.nbytes;
 }
 
-// P slice macroblocks (P_L0_16x16 / P_Skip). mv is full-pel (converted to
-// quarter-pel here, matching the Python writer).
+// P slice macroblocks (P_L0_16x16 / P_Skip). mv is quarter-pel.
 int64_t mtpu_write_slice_p(
     uint64_t acc, int nbits,
     const int32_t* mv, const int32_t* luma,
@@ -332,7 +331,7 @@ int64_t mtpu_write_slice_p(
   for (int r = 0; r < R; ++r) {
     for (int c = 0; c < C; ++c) {
       int mb = r * C + c;
-      int qx = mv[mb * 2] * 4, qy = mv[mb * 2 + 1] * 4;
+      int qx = mv[mb * 2], qy = mv[mb * 2 + 1];
       const int32_t* mb_luma = luma + mb * 16 * 16;
       const int32_t* mb_cdc = cdc + mb * 2 * 4;
       const int32_t* mb_cac = cac + mb * 2 * 4 * 15;

@@ -153,13 +153,28 @@ def _pack_codes(vals, lens, n_words: int):
     hi = jnp.where(lens > 0, hi, 0)
     lo = jnp.where(spill > 0, lo, 0)
 
-    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
-    flat = jnp.zeros((n * (n_words + 1),), jnp.uint32)
-    idx_hi = rows * (n_words + 1) + jnp.clip(w, 0, n_words)
-    idx_lo = rows * (n_words + 1) + jnp.clip(w + 1, 0, n_words)
-    flat = flat.at[idx_hi.reshape(-1)].add(hi.reshape(-1), mode="drop")
-    flat = flat.at[idx_lo.reshape(-1)].add(lo.reshape(-1), mode="drop")
-    return flat.reshape(n, n_words + 1)[:, :n_words], nbits
+    # Scatter-free reduction (TPU scatters serialize): the word index per slot
+    # is NON-decreasing along the slot axis, so "sum of hi over slots landing
+    # in word j" is a difference of prefix sums at positions found by counting
+    # (bit ranges within a word are disjoint, so modular sums == OR).
+    def bucket_sum(values, word_idx):
+        pref = jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.uint32), jnp.cumsum(values, axis=1)], axis=1
+        )
+        ws = jnp.arange(n_words, dtype=jnp.int32)
+        cnt_less = jnp.sum(
+            (word_idx[:, :, None] < ws[None, None, :]).astype(jnp.int32), axis=1
+        )
+        cnt_leq = jnp.sum(
+            (word_idx[:, :, None] <= ws[None, None, :]).astype(jnp.int32), axis=1
+        )
+        return (
+            jnp.take_along_axis(pref, cnt_leq, axis=1)
+            - jnp.take_along_axis(pref, cnt_less, axis=1)
+        )
+
+    words = bucket_sum(hi, w) + bucket_sum(lo, w + 1)
+    return words, nbits
 
 
 def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
@@ -321,10 +336,10 @@ def _median3(a, b, c):
 def _mb_metadata(mv, luma_levels, cdc_levels, cac_levels, R, C):
     """Stage 1: CBP, skip flags/runs, MV prediction — all parallel.
 
-    mv: (R, C, 2) full-pel; luma_levels: (R, C, 16, 16) zig-zag (raster blk);
+    mv: (R, C, 2) quarter-pel; luma_levels: (R, C, 16, 16) zig-zag (raster blk);
     cdc: (R, C, 2, 4); cac: (R, C, 2, 4, 15). Returns dict of per-MB tensors.
     """
-    qmv = 4 * mv  # quarter-pel
+    qmv = mv  # already quarter-pel
 
     blk_nnz = jnp.sum(luma_levels != 0, axis=3)  # (R, C, 16) per raster block
     zs = jnp.asarray(ZSCAN_TO_RASTER)

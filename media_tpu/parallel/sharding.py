@@ -23,7 +23,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipeline.pframe_core import local_pframe_core
+from ..pipeline.pframe_core import INTERP_HALO, local_pframe_core
 
 
 def make_tile_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -73,15 +73,16 @@ def make_sharded_pframe_step(mesh: Mesh, height: int, width: int,
     if n_rows % n_dev:
         raise ValueError(f"MB rows {n_rows} not divisible by {n_dev} devices")
     rows_local = n_rows // n_dev
-    if rows_local * 16 < search_range:
-        raise ValueError("tile shorter than the ME halo")
+    if rows_local * 16 < search_range + INTERP_HALO:
+        raise ValueError("tile shorter than the ME + interpolation halo")
 
     yspec = NamedSharding(mesh, P("tile", None))
-    halo_c = search_range // 2 + 1
+    halo_y = search_range + INTERP_HALO
+    halo_c = search_range // 2 + 2
 
     def _step(y, u, v, ref_y, ref_u, ref_v, qp, qp_c):
         def shard_fn(y_l, u_l, v_l, ry_l, ru_l, rv_l):
-            ry_ext = _halo_exchange_rows(ry_l.astype(jnp.int32), search_range, "tile")
+            ry_ext = _halo_exchange_rows(ry_l.astype(jnp.int32), halo_y, "tile")
             ru_ext = _halo_exchange_rows(ru_l.astype(jnp.int32), halo_c, "tile")
             rv_ext = _halo_exchange_rows(rv_l.astype(jnp.int32), halo_c, "tile")
             out = local_pframe_core(

@@ -232,7 +232,7 @@ class FrameEncoder:
 
         def step(carry, frame):
             ry, ru, rv = carry
-            ry_ext = jnp.pad(ry.astype(jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+            ry_ext = jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
             ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
             rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
             y, u, v = frame
@@ -257,12 +257,15 @@ class FrameEncoder:
                               search_range):
         from .pframe_core import local_pframe_core
 
+        from .pframe_core import INTERP_HALO
+
         rs = search_range
-        halo_c = rs // 2 + 1
+        halo_y = rs + INTERP_HALO
+        halo_c = rs // 2 + 2
 
         def step(carry, frame):
             ry, ru, rv = carry
-            ry_ext = jnp.pad(ry.astype(jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+            ry_ext = jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
             ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
             rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
             y, u, v = frame
@@ -285,9 +288,12 @@ class FrameEncoder:
                               search_range):
         from .pframe_core import local_pframe_core
 
+        from .pframe_core import INTERP_HALO
+
         rs = search_range
-        halo_c = rs // 2 + 1
-        ref_y_ext = jnp.pad(jnp.asarray(ref_y, jnp.int32), ((rs, rs), (0, 0)), mode="edge")
+        halo_y = rs + INTERP_HALO
+        halo_c = rs // 2 + 2
+        ref_y_ext = jnp.pad(jnp.asarray(ref_y, jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
         ref_u_ext = jnp.pad(jnp.asarray(ref_u, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
         ref_v_ext = jnp.pad(jnp.asarray(ref_v, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
         return local_pframe_core(

@@ -22,8 +22,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops import interp as interp_ops
 from ..ops import me as me_ops
 from ..ops import transform as T
+
+# Extra halo beyond the full-pel search range: quarter-pel refinement moves
+# the integer base by up to 1 pixel and the 6-tap interpolation reaches 3
+# more samples.
+INTERP_HALO = 4
 
 SYMBOLS_PER_MB = 2 + 256 + 8 + 120  # = 386
 _OFF_MV = 0
@@ -67,8 +73,11 @@ def unpack_symbols(symbols):
 
 
 def mc_chroma_ext(ref_c_ext, mv, R, C, halo: int):
-    """Chroma MC against a plane extended with `halo` rows above and below."""
-    mv_c8 = 4 * mv
+    """Chroma MC against a plane extended with `halo` rows above and below.
+
+    mv is in quarter-pel luma units == 1/8-pel chroma units (spec 8.4.2.2.2).
+    """
+    mv_c8 = mv
     ix = mv_c8[:, 0] >> 3
     iy = mv_c8[:, 1] >> 3
     fx = (mv_c8[:, 0] & 7)[:, None, None]
@@ -94,19 +103,24 @@ def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
                       qp, qp_c, search_range: int, n_rows: int, n_cols: int):
     """P-frame encode for a tile of `n_rows` MB rows.
 
-    ref_y_ext has `search_range` extra rows above/below; ref_[uv]_ext have
-    `search_range // 2 + 1` extra rows. Returns packed symbols, recon planes
-    (uint8) and the tile's SAD total.
+    ref_y_ext has `search_range + INTERP_HALO` extra rows above/below;
+    ref_[uv]_ext have `search_range // 2 + 2` extra rows. MVs are refined to
+    quarter-pel precision (49-candidate window around the full-pel best).
+    Returns packed symbols (mv in QUARTER-PEL units), recon planes (uint8)
+    and the tile's SAD total.
     """
     R, C = n_rows, n_cols
     n = R * C
     rs = search_range
-    halo_c = rs // 2 + 1
+    halo_c = rs // 2 + 2
     cur = cur_y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     cu = cur_u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
     cv = cur_v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
 
-    pad = jnp.pad(ref_y_ext, ((0, 0), (rs, rs)), mode="edge")
+    # Full-pel search uses exactly `rs` halo; the extra INTERP_HALO rows are
+    # for sub-pel interpolation reach.
+    ref_for_fullpel = ref_y_ext[INTERP_HALO:-INTERP_HALO]
+    pad = jnp.pad(ref_for_fullpel, ((0, 0), (rs, rs)), mode="edge")
     if 2 * rs == 16:
         # Gather-free window build: pad is exactly (R+1)x(C+1) 16-blocks, and
         # each 32x32 window is a 2x2 group of adjacent blocks — pure
@@ -124,10 +138,18 @@ def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
         cols = c[:, None] * 16 + span[None, :]
         windows = pad[rows[:, :, None], cols[:, None, :]]
 
-    mv, cost = me_ops.full_search(cur, windows, rs)
-    pred = me_ops.mc_luma(windows, mv, rs)
-    pred_u = mc_chroma_ext(ref_u_ext, mv, R, C, halo_c)
-    pred_v = mc_chroma_ext(ref_v_ext, mv, R, C, halo_c)
+    mv_full, cost = me_ops.full_search(cur, windows, rs)
+
+    # ---- quarter-pel refinement ----
+    pad_i = jnp.pad(ref_y_ext, ((0, 0), (rs + INTERP_HALO, rs + INTERP_HALO)),
+                    mode="edge")
+    hp_b, hp_h, hp_j = interp_ops.half_pel_planes(pad_i)
+    qmv, pred, qcost = refine_subpel(
+        cur, pad_i, hp_b, hp_h, hp_j, mv_full, R, C, rs)
+    cost = qcost
+
+    pred_u = mc_chroma_ext(ref_u_ext, qmv, R, C, halo_c)
+    pred_v = mc_chroma_ext(ref_v_ext, qmv, R, C, halo_c)
 
     res = _mb_blocks(cur - pred)
     z = T.quant_4x4(T.forward_4x4(res), qp, intra=False)
@@ -148,7 +170,7 @@ def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
 
     symbols = jnp.concatenate(
         [
-            mv.astype(jnp.int16),
+            qmv.astype(jnp.int16),
             T.zigzag(z).reshape(n, 256).astype(jnp.int16),
             jnp.stack([zdc_u, zdc_v], axis=1).reshape(n, 8).astype(jnp.int16),
             jnp.stack(
@@ -184,3 +206,48 @@ def unpack_symbols_device(symbols):
         s[..., _OFF_CDC:_OFF_CAC].reshape(R, C, 2, 4),
         s[..., _OFF_CAC:].reshape(R, C, 2, 4, 15),
     )
+
+
+def refine_subpel(cur, plane_g, plane_b, plane_h, plane_j, mv_full, R, C,
+                  rs: int, lambda_q: int = 1):
+    """Quarter-pel refinement: evaluate all 49 (dx, dy) in [-3,3]^2 around the
+    full-pel best. Window gathers happen once; every candidate is then pure
+    static slicing (ops/interp.subpel_value).
+
+    Planes are padded by rs + INTERP_HALO on all sides (luma). Returns
+    (qmv (N,2) quarter-pel, pred (N,16,16), cost (N,)).
+    """
+    n = R * C
+    pad_off = rs + INTERP_HALO
+    r = jnp.arange(n, dtype=jnp.int32) // C
+    c = jnp.arange(n, dtype=jnp.int32) % C
+    y0 = r * 16 + mv_full[:, 1] + pad_off - 1  # window origin (base - 1)
+    x0 = c * 16 + mv_full[:, 0] + pad_off - 1
+    span = jnp.arange(18, dtype=jnp.int32)
+    rows = y0[:, None] + span[None, :]
+    cols = x0[:, None] + span[None, :]
+
+    def win(plane):
+        return plane[rows[:, :, None], cols[:, None, :]]
+
+    wg, wb, wh, wj = win(plane_g), win(plane_b), win(plane_h), win(plane_j)
+
+    base_q = 4 * mv_full  # (N, 2)
+    best_cost = jnp.full((n,), 1 << 30, jnp.int32) + jnp.zeros_like(cur[:, 0, 0])
+    best_pred = jnp.zeros_like(cur)
+    best_d = jnp.zeros((n, 2), jnp.int32)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
+            sad = jnp.sum(jnp.abs(pred - cur), axis=(1, 2))
+            mv_rate = lambda_q * (
+                jnp.abs(base_q[:, 0] + dx) + jnp.abs(base_q[:, 1] + dy)
+            )
+            cost = sad + mv_rate
+            better = cost < best_cost
+            best_cost = jnp.where(better, cost, best_cost)
+            best_pred = jnp.where(better[:, None, None], pred, best_pred)
+            best_d = jnp.where(
+                better[:, None], jnp.array([dx, dy], jnp.int32)[None, :], best_d
+            )
+    return base_q + best_d, best_pred, best_cost

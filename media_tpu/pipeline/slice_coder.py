@@ -214,7 +214,7 @@ def write_pslice_mbs(
 ) -> dict:
     """Write all macroblocks of a P slice (P_L0_16x16 / P_Skip).
 
-    mv: (R, C, 2) full-pel luma MVs; luma_levels: (R, C, 16, 16) zig-zag.
+    mv: (R, C, 2) quarter-pel luma MVs; luma_levels: (R, C, 16, 16) zig-zag.
     Returns stats (skip count) for rate control / perf logs.
     """
     from . import mv_pred
@@ -227,9 +227,7 @@ def write_pslice_mbs(
 
     for r in range(n_rows):
         for c in range(n_cols):
-            # Entropy layer works in quarter-pel units (matching the decoder's
-            # MV map); the TPU search currently produces full-pel MVs.
-            this_mv = (int(mv[r, c, 0]) * 4, int(mv[r, c, 1]) * 4)
+            this_mv = (int(mv[r, c, 0]), int(mv[r, c, 1]))  # quarter-pel
             # CBP from quantized levels: luma bit per 8x8 group (z-scan).
             cbp_luma = 0
             for g8 in range(4):

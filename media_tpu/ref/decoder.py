@@ -386,14 +386,66 @@ class ReferenceDecoder:
         return mv_pred.predict_mv(pred_mv, r, c, n_cols)
 
     def _mc_luma(self, ref_y, r, c, mvx, mvy):
-        """Full-pel motion compensation, 16x16 (quarter-pel units, fullpel MVs)."""
-        if mvx % 4 or mvy % 4:
-            raise NotImplementedError("sub-pel MC not yet in ref decoder")
+        """Quarter-pel luma motion compensation (spec 8.4.2.2.1/2).
+
+        Implemented independently of the JAX encoder path: a clipped integer
+        patch is fetched, 6-tap half-pel values are computed on it, and the
+        quarter-pel position is the spec's rounded average of its two
+        neighbors.
+        """
         H, W = ref_y.shape
-        y0, x0 = r * 16 + mvy // 4, c * 16 + mvx // 4
-        ys = np.clip(np.arange(y0, y0 + 16), 0, H - 1)
-        xs = np.clip(np.arange(x0, x0 + 16), 0, W - 1)
-        return ref_y[np.ix_(ys, xs)]
+        xi, yi = mvx >> 2, mvy >> 2
+        xf, yf = mvx & 3, mvy & 3
+        y0, x0 = r * 16 + yi, c * 16 + xi
+        # Patch covering taps (-2..+3) and +1 half/integer neighbors: 23x23.
+        ys = np.clip(np.arange(y0 - 2, y0 + 21), 0, H - 1)
+        xs = np.clip(np.arange(x0 - 2, x0 + 21), 0, W - 1)
+        p = ref_y[np.ix_(ys, xs)].astype(np.int64)  # origin at (y0-2, x0-2)
+
+        def tap_h(a):
+            w = a.shape[1]
+            return (a[:, 0:w-5] - 5*a[:, 1:w-4] + 20*a[:, 2:w-3]
+                    + 20*a[:, 3:w-2] - 5*a[:, 4:w-1] + a[:, 5:w])
+
+        def tap_v(a):
+            h_ = a.shape[0]
+            return (a[0:h_-5, :] - 5*a[1:h_-4, :] + 20*a[2:h_-3, :]
+                    + 20*a[3:h_-2, :] - 5*a[4:h_-1, :] + a[5:h_, :])
+
+        # Integer grid G over (17, 17): G[j, i] = ref(y0 + j, x0 + i)
+        G = p[2:19, 2:19]
+        b1 = tap_h(p)            # (23, 18): col i -> half at x0 + i - ... col k = x between x0-2+k+.5? hfilter output col k uses cols k..k+5 -> center x0-2+k+2 +0.5 = x0+k+0.5 -> half sample at (x0+k, +1/2) for k from 0 -> need b at (x0+i+1/2): col i... b1 col i corresponds to half position right of x0+i when i = i. p col offset: output col i covers p cols i..i+5 centered at i+2/i+3 -> half between x0-2+i+2 and +3 = x0+i and x0+i+1 ✓
+        B = np.clip((b1[2:19, 0:17] + 16) >> 5, 0, 255)
+        h1 = tap_v(p)            # (18, 23): row j -> half below y0+j-... analogous
+        Hh = np.clip((h1[0:17, 2:19] + 16) >> 5, 0, 255)
+        j1 = tap_v(b1)           # (18, 18)
+        J = np.clip((j1[0:17, 0:17] + 512) >> 10, 0, 255)
+
+        def blk(a, px=0, py=0):
+            return a[py:py+16, px:px+16]
+
+        def avg(a, b_):
+            return (a + b_ + 1) >> 1
+
+        table = {
+            (0, 0): lambda: blk(G),
+            (1, 0): lambda: avg(blk(G), blk(B)),
+            (2, 0): lambda: blk(B),
+            (3, 0): lambda: avg(blk(B), blk(G, px=1)),
+            (0, 1): lambda: avg(blk(G), blk(Hh)),
+            (1, 1): lambda: avg(blk(B), blk(Hh)),
+            (2, 1): lambda: avg(blk(B), blk(J)),
+            (3, 1): lambda: avg(blk(B), blk(Hh, px=1)),
+            (0, 2): lambda: blk(Hh),
+            (1, 2): lambda: avg(blk(Hh), blk(J)),
+            (2, 2): lambda: blk(J),
+            (3, 2): lambda: avg(blk(J), blk(Hh, px=1)),
+            (0, 3): lambda: avg(blk(Hh), blk(G, py=1)),
+            (1, 3): lambda: avg(blk(Hh), blk(B, py=1)),
+            (2, 3): lambda: avg(blk(J), blk(B, py=1)),
+            (3, 3): lambda: avg(blk(Hh, px=1), blk(B, py=1)),
+        }
+        return table[(xf, yf)]()
 
     def _mc_chroma(self, ref_c, r, c, mvx, mvy):
         """Chroma MC at 1/8-pel: full-pel luma MVs can still be half-pel in

@@ -34,6 +34,12 @@ class EncoderConfig:
     # is the wall), "host" downloads symbols for the native C++ packer (right
     # on CPU backends), "auto" picks by backend.
     entropy_mode: str = "auto"
+    # Rate control: "cq" = constant QP (cfg.qp); "cbr" = on-device CBR loop
+    # targeting cfg.bitrate at cfg.framerate (RC_BITRATE_MODE semantics,
+    # reference codec_app_def.h:268-275).
+    rc_mode: str = "cq"
+    bitrate: int = 5_000_000
+    framerate: int = 30
 
 
 class EncoderSession:
@@ -51,6 +57,14 @@ class EncoderSession:
         self.idr_pic_id = 0
         self._force_idr = False
         self.recon = None  # (y, u, v) reference planes
+        # CBR state: virtual buffer + complexity model (bits*qstep EWMA).
+        target = cfg.bitrate / max(cfg.framerate, 1)
+        self._rc_target = target
+        self.rc_state = {
+            "qp": float(cfg.qp),
+            "buf": 0.0,
+            "cplx": target * 0.625 * 2 ** (cfg.qp / 6.0),
+        }
 
     def force_keyframe(self) -> None:
         """Analog of the reference's keyframe poll + ForceIntraFrame
@@ -112,6 +126,10 @@ class EncoderSession:
             us = np.stack([p[1] for p in planes[i : i + k]])
             vs = np.stack([p[2] for p in planes[i : i + k]])
             enc = self._frame_encoder
+            if cfg.rc_mode == "cbr":
+                out.extend(self._encode_p_run_cbr(ys, us, vs, k))
+                i += k
+                continue
             use_device = cfg.entropy_mode == "device" or (
                 cfg.entropy_mode == "auto"
                 and jax.default_backend() != "cpu"
@@ -145,15 +163,49 @@ class EncoderSession:
             i += k
         return out
 
-    def _pslice_au_packed(self, stream_words, total_bits: int) -> bytes:
+    def _encode_p_run_cbr(self, ys, us, vs, k: int) -> list[bytes]:
+        """CBR path: on-device rate-controlled batch; per-frame QP in headers."""
+        cfg = self.cfg
+        enc = self._frame_encoder
+        streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
+            ys, us, vs, *self.recon, self.rc_state, int(self._rc_target)
+        )
+        out = []
+        if int(bits.max()) <= enc.cap_words * 32:
+            self.recon = recon
+            self.rc_state = new_state
+            for j in range(k):
+                out.append(
+                    self._pslice_au_packed(streams[j], int(bits[j]), qp=int(qps[j]))
+                )
+                self.frame_idx += 1
+        else:
+            # Device bit budget exceeded: host entropy at the mean chosen QP.
+            qp = int(np.round(qps.mean()))
+            symbols, recon = enc.encode_pframes_batch(ys, us, vs, *self.recon, qp)
+            self.recon = recon
+            self.rc_state["qp"] = float(qp)
+            from .pframe_core import unpack_symbols
+
+            for j in range(k):
+                fields = unpack_symbols(symbols[j])
+                au = self._pslice_au(fields, qp=qp)
+                self.rc_state["buf"] += len(au) * 8 - self._rc_target
+                out.append(au)
+                self.frame_idx += 1
+        return out
+
+    def _pslice_au_packed(self, stream_words, total_bits: int,
+                          qp: int | None = None) -> bytes:
         from ..entropy.device_cavlc import merge_slice_data
 
-        bw = self._pslice_header_writer()
+        bw = self._pslice_header_writer(qp)
         merge_slice_data(bw, stream_words, total_bits)
         return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
 
-    def _pslice_header_writer(self) -> BitWriter:
+    def _pslice_header_writer(self, qp: int | None = None) -> BitWriter:
         cfg = self.cfg
+        qp = cfg.qp if qp is None else qp
         bw = BitWriter()
         frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
             1 << self.sps.log2_max_frame_num
@@ -162,14 +214,14 @@ class EncoderSession:
             slice_type=5,
             idr=False,
             frame_num=frame_num,
-            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
+            slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=1,
         )
         hdr.write(bw, self.sps, self.pps)
         return bw
 
-    def _pslice_au(self, fields: dict) -> bytes:
-        bw = self._pslice_header_writer()
+    def _pslice_au(self, fields: dict, qp: int | None = None) -> bytes:
+        bw = self._pslice_header_writer(qp)
         from .. import native
 
         if not native.write_pslice_native(
@@ -190,7 +242,12 @@ class EncoderSession:
 
     def _encode_idr(self, y, u, v) -> bytes:
         cfg = self.cfg
-        result = self._frame_encoder.encode_iframe(y, u, v, cfg.qp)
+        if cfg.rc_mode == "cbr":
+            # I frames: slightly below the running P QP, budgeted separately.
+            qp_i = int(np.clip(round(self.rc_state["qp"]) - 2, 10, 46))
+        else:
+            qp_i = cfg.qp
+        result = self._frame_encoder.encode_iframe(y, u, v, qp_i)
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         self.frame_idx_of_idr = self.frame_idx
 
@@ -200,7 +257,7 @@ class EncoderSession:
             idr=True,
             idr_pic_id=self.idr_pic_id,
             frame_num=0,
-            slice_qp_delta=cfg.qp - self.pps.pic_init_qp,
+            slice_qp_delta=qp_i - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=1,
         )
         hdr.write(bw, self.sps, self.pps)
@@ -229,16 +286,25 @@ class EncoderSession:
         pps_w = BitWriter()
         self.pps.write(pps_w)
         pps_w.rbsp_trailing_bits()
-        return (
+        au = (
             wrap_nal(H264NalType.SPS, sps_w.get_bytes())
             + wrap_nal(H264NalType.PPS, pps_w.get_bytes())
             + wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(), nal_ref_idc=3)
         )
+        if cfg.rc_mode == "cbr":
+            # Charge the I frame against the buffer at an allowance of 4x the
+            # per-frame target (typical I/P size ratio at equal quality).
+            self.rc_state["buf"] += len(au) * 8 - 4 * self._rc_target
+        return au
 
     # --------------------------------------------------------------------- P
 
     def _encode_p(self, y, u, v) -> bytes:
         cfg = self.cfg
+        if cfg.rc_mode == "cbr":
+            aus = self._encode_p_run_cbr(y[None], u[None], v[None], 1)
+            self.frame_idx -= 1  # the run helper incremented; encode_frame will too
+            return aus[0]
         ref_y, ref_u, ref_v = self.recon
         result = self._frame_encoder.encode_pframe(
             y, u, v, ref_y, ref_u, ref_v, cfg.qp

@@ -226,8 +226,11 @@ class FrameEncoder:
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import local_pframe_core, unpack_symbols_device
 
+        from .pframe_core import INTERP_HALO
+
         rs = search_range
-        halo_c = rs // 2 + 1
+        halo_y = rs + INTERP_HALO
+        halo_c = rs // 2 + 2
         cap = self.cap_words
 
         def step(carry, frame):
@@ -455,3 +458,87 @@ class FrameEncoder:
             .reshape(self.height // 2, self.width // 2).astype(jnp.uint8)
         )
         return out
+
+    # ---------------------------------------------------- inter + CBR control
+
+    def encode_pframes_cbr(self, ys, us, vs, ref_y, ref_u, ref_v,
+                           rc_state: dict, target_bits_per_frame: int,
+                           qp_min: int = 12, qp_max: int = 44,
+                           search_range: int = 8):
+        """Encode K P frames with on-device CBR rate control.
+
+        The device packer reports each frame's EXACT bit count, so the
+        virtual-buffer feedback loop (bits -> complexity model -> next QP)
+        runs inside the device scan with no host round trips. rc_state carries
+        {"qp": float, "buf": float, "cplx": float} across calls.
+
+        Returns (streams, bits, qps, recon, new_rc_state).
+        """
+        streams, bits, qps, recon, new_state = self._encode_pbatch_cbr_device(
+            jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+            jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
+            jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
+            jnp.float32(rc_state["cplx"]),
+            float(target_bits_per_frame), qp_min, qp_max, search_range,
+        )
+        out_state = {
+            "qp": float(new_state[0]),
+            "buf": float(new_state[1]),
+            "cplx": float(new_state[2]),
+        }
+        return (np.asarray(streams), np.asarray(bits), np.asarray(qps),
+                recon, out_state)
+
+    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13))
+    def _encode_pbatch_cbr_device(self, ys, us, vs, ref_y, ref_u, ref_v,
+                                  qp0, buf0, cplx0,
+                                  target: float, qp_min: int, qp_max: int,
+                                  search_range: int):
+        from ..entropy.device_cavlc import pack_pslice_device
+        from .pframe_core import (
+            INTERP_HALO, chroma_qp_device, local_pframe_core,
+            unpack_symbols_device,
+        )
+
+        rs = search_range
+        halo_y = rs + INTERP_HALO
+        halo_c = rs // 2 + 2
+        cap = self.cap_words
+
+        def qstep(qp):
+            return 0.625 * jnp.exp2(qp / 6.0)
+
+        def step(carry, frame):
+            ry, ru, rv, qp_f, buf, cplx = carry
+            # Virtual-buffer drain: aim below target when the buffer is full.
+            adj_target = jnp.maximum(target - 0.35 * buf, 0.25 * target)
+            want_qstep = jnp.clip(cplx / adj_target, 0.625, 1024.0)
+            qp_f = 6.0 * jnp.log2(want_qstep / 0.625)
+            qp = jnp.clip(jnp.round(qp_f), qp_min, qp_max).astype(jnp.int32)
+            qp_c = chroma_qp_device(qp)
+
+            ry_ext = jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
+            ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
+            y, u, v = frame
+            out = local_pframe_core(
+                y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+                ry_ext, ru_ext, rv_ext, qp, qp_c, rs, self.n_rows, self.n_cols,
+            )
+            mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
+            stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap)
+            bits_f = bits.astype(jnp.float32)
+            # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
+            cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp.astype(jnp.float32))
+            buf = buf + bits_f - target
+            new_carry = (out["recon_y"], out["recon_u"], out["recon_v"],
+                         qp.astype(jnp.float32), buf, cplx)
+            return new_carry, (stream, bits, qp)
+
+        init = (
+            jnp.asarray(ref_y, jnp.uint8), jnp.asarray(ref_u, jnp.uint8),
+            jnp.asarray(ref_v, jnp.uint8), qp0, buf0, cplx0,
+        )
+        carry, (streams, bits, qps) = jax.lax.scan(step, init, (ys, us, vs))
+        recon = carry[:3]
+        return streams, bits, qps, recon, (carry[3], carry[4], carry[5])

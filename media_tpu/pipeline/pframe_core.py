@@ -26,6 +26,11 @@ from ..ops import interp as interp_ops
 from ..ops import me as me_ops
 from ..ops import transform as T
 
+
+def chroma_qp_device(qp):
+    """Traced chroma-QP derivation (spec Table 8-12) for on-device RC."""
+    return jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
+
 # Extra halo beyond the full-pel search range: quarter-pel refinement moves
 # the integer base by up to 1 pixel and the 6-tap interpolation reaches 3
 # more samples.

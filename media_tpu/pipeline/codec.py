@@ -40,6 +40,9 @@ class EncoderConfig:
     rc_mode: str = "cq"
     bitrate: int = 5_000_000
     framerate: int = 30
+    # In-loop deblocking (spec 8.7). Encoder and decoder implement matching
+    # filters; disable to get the deblock-free conformance point.
+    deblock: bool = True
 
 
 class EncoderSession:
@@ -136,7 +139,7 @@ class EncoderSession:
             )
             if use_device:
                 streams, bits, recon = enc.encode_pframes_packed(
-                    ys, us, vs, *self.recon, cfg.qp
+                    ys, us, vs, *self.recon, cfg.qp, deblock=cfg.deblock
                 )
             else:
                 bits = np.array([1 << 62])  # force the symbols path below
@@ -151,7 +154,7 @@ class EncoderSession:
                 # Rare overflow (bitrate above the 2bpp device budget): fall
                 # back to downloading symbols and packing on the host.
                 symbols, recon = enc.encode_pframes_batch(
-                    ys, us, vs, *self.recon, cfg.qp
+                    ys, us, vs, *self.recon, cfg.qp, deblock=cfg.deblock
                 )
                 self.recon = recon
                 from .pframe_core import unpack_symbols
@@ -168,7 +171,8 @@ class EncoderSession:
         cfg = self.cfg
         enc = self._frame_encoder
         streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
-            ys, us, vs, *self.recon, self.rc_state, int(self._rc_target)
+            ys, us, vs, *self.recon, self.rc_state, int(self._rc_target),
+            deblock=cfg.deblock,
         )
         out = []
         if int(bits.max()) <= enc.cap_words * 32:
@@ -182,7 +186,8 @@ class EncoderSession:
         else:
             # Device bit budget exceeded: host entropy at the mean chosen QP.
             qp = int(np.round(qps.mean()))
-            symbols, recon = enc.encode_pframes_batch(ys, us, vs, *self.recon, qp)
+            symbols, recon = enc.encode_pframes_batch(
+                ys, us, vs, *self.recon, qp, deblock=cfg.deblock)
             self.recon = recon
             self.rc_state["qp"] = float(qp)
             from .pframe_core import unpack_symbols
@@ -215,7 +220,7 @@ class EncoderSession:
             idr=False,
             frame_num=frame_num,
             slice_qp_delta=qp - self.pps.pic_init_qp,
-            disable_deblocking_filter_idc=1,
+            disable_deblocking_filter_idc=0 if cfg.deblock else 1,
         )
         hdr.write(bw, self.sps, self.pps)
         return bw
@@ -247,7 +252,8 @@ class EncoderSession:
             qp_i = int(np.clip(round(self.rc_state["qp"]) - 2, 10, 46))
         else:
             qp_i = cfg.qp
-        result = self._frame_encoder.encode_iframe(y, u, v, qp_i)
+        result = self._frame_encoder.encode_iframe(y, u, v, qp_i,
+                                                   deblock=cfg.deblock)
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         self.frame_idx_of_idr = self.frame_idx
 
@@ -258,7 +264,7 @@ class EncoderSession:
             idr_pic_id=self.idr_pic_id,
             frame_num=0,
             slice_qp_delta=qp_i - self.pps.pic_init_qp,
-            disable_deblocking_filter_idc=1,
+            disable_deblocking_filter_idc=0 if cfg.deblock else 1,
         )
         hdr.write(bw, self.sps, self.pps)
         from .. import native
@@ -307,7 +313,7 @@ class EncoderSession:
             return aus[0]
         ref_y, ref_u, ref_v = self.recon
         result = self._frame_encoder.encode_pframe(
-            y, u, v, ref_y, ref_u, ref_v, cfg.qp
+            y, u, v, ref_y, ref_u, ref_v, cfg.qp, deblock=cfg.deblock
         )
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         fields = {

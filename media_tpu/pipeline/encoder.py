@@ -129,7 +129,7 @@ class FrameEncoder:
 
     # ------------------------------------------------------------------ intra
 
-    def encode_iframe(self, y, u, v, qp: int) -> IFrameResult:
+    def encode_iframe(self, y, u, v, qp: int, deblock: bool = False) -> IFrameResult:
         """Encode one intra frame. y: (H, W), u/v: (H/2, W/2) uint8 arrays."""
         qp_c = int(T.chroma_qp(qp))
         out = self._encode_i(
@@ -138,6 +138,7 @@ class FrameEncoder:
             jnp.asarray(v, jnp.int32),
             jnp.int32(qp),
             jnp.int32(qp_c),
+            deblock,
         )
         return IFrameResult(
             mode16=np.asarray(out["mode16"]),
@@ -154,7 +155,7 @@ class FrameEncoder:
     # ------------------------------------------------------------------ inter
 
     def encode_pframe(self, y, u, v, ref_y, ref_u, ref_v, qp: int,
-                      search_range: int = 8) -> PFrameResult:
+                      search_range: int = 8, deblock: bool = False) -> PFrameResult:
         """Encode one P frame against a reconstructed reference.
 
         Fully parallel across MBs (no wavefront): with in-loop deblocking off,
@@ -166,7 +167,7 @@ class FrameEncoder:
         out = self._encode_pframe_device(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
-            jnp.int32(qp), jnp.int32(qp_c), search_range,
+            jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
         )
         from .pframe_core import unpack_symbols
 
@@ -179,7 +180,7 @@ class FrameEncoder:
         )
 
     def encode_pframes_batch(self, ys, us, vs, ref_y, ref_u, ref_v, qp: int,
-                             search_range: int = 8):
+                             search_range: int = 8, deblock: bool = False):
         """Encode K consecutive P frames in ONE device dispatch.
 
         The IPPP recon dependency is carried through a lax.scan on device, so
@@ -194,12 +195,12 @@ class FrameEncoder:
         symbols, recon = self._encode_pbatch_device(
             jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
-            jnp.int32(qp), jnp.int32(qp_c), search_range,
+            jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
         )
         return np.asarray(symbols), recon
 
     def encode_pframes_packed(self, ys, us, vs, ref_y, ref_u, ref_v, qp: int,
-                              search_range: int = 8):
+                              search_range: int = 8, deblock: bool = False):
         """Encode K consecutive P frames with ON-DEVICE entropy coding.
 
         Downloads only the packed slice_data bitstreams (~the real bitrate)
@@ -211,7 +212,7 @@ class FrameEncoder:
         streams, bits, recon = self._encode_pbatch_packed_device(
             jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
-            jnp.int32(qp), jnp.int32(qp_c), search_range,
+            jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
         )
         return np.asarray(streams), np.asarray(bits), recon
 
@@ -245,7 +246,14 @@ class FrameEncoder:
             )
             mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
             stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap)
-            return (out["recon_y"], out["recon_u"], out["recon_v"]), (stream, bits)
+            ry2, ru2, rv2 = out["recon_y"], out["recon_u"], out["recon_v"]
+            if deblock:
+                from .deblock_apply import deblock_pframe_from_symbols
+
+                ry2, ru2, rv2 = deblock_pframe_from_symbols(
+                    ry2, ru2, rv2, out["symbols"], qp, qp_c,
+                    self.n_rows, self.n_cols)
+            return (ry2, ru2, rv2), (stream, bits)
 
         init = (
             jnp.asarray(ref_y, jnp.uint8),
@@ -255,9 +263,9 @@ class FrameEncoder:
         recon, (streams, bits) = jax.lax.scan(step, init, (ys, us, vs))
         return streams, bits, recon
 
-    @functools.partial(jax.jit, static_argnums=(0, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 9, 10))
     def _encode_pbatch_device(self, ys, us, vs, ref_y, ref_u, ref_v, qp, qp_c,
-                              search_range):
+                              search_range, deblock=False):
         from .pframe_core import local_pframe_core
 
         from .pframe_core import INTERP_HALO
@@ -276,7 +284,14 @@ class FrameEncoder:
                 y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
                 ry_ext, ru_ext, rv_ext, qp, qp_c, rs, self.n_rows, self.n_cols,
             )
-            return (out["recon_y"], out["recon_u"], out["recon_v"]), out["symbols"]
+            ry2, ru2, rv2 = out["recon_y"], out["recon_u"], out["recon_v"]
+            if deblock:
+                from .deblock_apply import deblock_pframe_from_symbols
+
+                ry2, ru2, rv2 = deblock_pframe_from_symbols(
+                    ry2, ru2, rv2, out["symbols"], qp, qp_c,
+                    self.n_rows, self.n_cols)
+            return (ry2, ru2, rv2), out["symbols"]
 
         init = (
             jnp.asarray(ref_y, jnp.uint8),
@@ -286,9 +301,9 @@ class FrameEncoder:
         recon, symbols = jax.lax.scan(step, init, (ys, us, vs))
         return symbols, recon
 
-    @functools.partial(jax.jit, static_argnums=(0, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 9, 10))
     def _encode_pframe_device(self, y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
-                              search_range):
+                              search_range, deblock=False):
         from .pframe_core import local_pframe_core
 
         from .pframe_core import INTERP_HALO
@@ -299,15 +314,25 @@ class FrameEncoder:
         ref_y_ext = jnp.pad(jnp.asarray(ref_y, jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
         ref_u_ext = jnp.pad(jnp.asarray(ref_u, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
         ref_v_ext = jnp.pad(jnp.asarray(ref_v, jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
-        return local_pframe_core(
+        out = local_pframe_core(
             jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
             jnp.asarray(v, jnp.int32),
             ref_y_ext, ref_u_ext, ref_v_ext,
             qp, qp_c, rs, self.n_rows, self.n_cols,
         )
+        if deblock:
+            from .deblock_apply import deblock_pframe_from_symbols
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _encode_iframe_device(self, y, u, v, qp, qp_c):
+            out["recon_y"], out["recon_u"], out["recon_v"] = (
+                deblock_pframe_from_symbols(
+                    out["recon_y"], out["recon_u"], out["recon_v"],
+                    out["symbols"], qp, qp_c, self.n_rows, self.n_cols,
+                )
+            )
+        return out
+
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def _encode_iframe_device(self, y, u, v, qp, qp_c, deblock=False):
         R, C = self.n_rows, self.n_cols
         rows, cols, mask = self._waves
         n_waves, max_wave = rows.shape
@@ -445,18 +470,17 @@ class FrameEncoder:
                 "cdc_levels", "cac_levels",
             )
         }
-        out["recon_y"] = (
-            state["recon_y"].transpose(0, 2, 1, 3)
-            .reshape(self.height, self.width).astype(jnp.uint8)
-        )
-        out["recon_u"] = (
-            state["recon_u"].transpose(0, 2, 1, 3)
-            .reshape(self.height // 2, self.width // 2).astype(jnp.uint8)
-        )
-        out["recon_v"] = (
-            state["recon_v"].transpose(0, 2, 1, 3)
-            .reshape(self.height // 2, self.width // 2).astype(jnp.uint8)
-        )
+        ry = state["recon_y"].transpose(0, 2, 1, 3).reshape(self.height, self.width)
+        ru = state["recon_u"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+        rv = state["recon_v"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
+        if deblock:
+            from .deblock_apply import deblock_iframe
+
+            ry, ru, rv = deblock_iframe(ry, ru, rv, qp, qp_c,
+                                        self.n_rows, self.n_cols)
+        else:
+            ry, ru, rv = (x.astype(jnp.uint8) for x in (ry, ru, rv))
+        out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
         return out
 
     # ---------------------------------------------------- inter + CBR control
@@ -464,7 +488,7 @@ class FrameEncoder:
     def encode_pframes_cbr(self, ys, us, vs, ref_y, ref_u, ref_v,
                            rc_state: dict, target_bits_per_frame: int,
                            qp_min: int = 12, qp_max: int = 44,
-                           search_range: int = 8):
+                           search_range: int = 8, deblock: bool = False):
         """Encode K P frames with on-device CBR rate control.
 
         The device packer reports each frame's EXACT bit count, so the
@@ -479,7 +503,7 @@ class FrameEncoder:
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
             jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
             jnp.float32(rc_state["cplx"]),
-            float(target_bits_per_frame), qp_min, qp_max, search_range,
+            float(target_bits_per_frame), qp_min, qp_max, search_range, deblock,
         )
         out_state = {
             "qp": float(new_state[0]),
@@ -489,11 +513,11 @@ class FrameEncoder:
         return (np.asarray(streams), np.asarray(bits), np.asarray(qps),
                 recon, out_state)
 
-    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13))
+    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14))
     def _encode_pbatch_cbr_device(self, ys, us, vs, ref_y, ref_u, ref_v,
                                   qp0, buf0, cplx0,
                                   target: float, qp_min: int, qp_max: int,
-                                  search_range: int):
+                                  search_range: int, deblock: bool = False):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import (
             INTERP_HALO, chroma_qp_device, local_pframe_core,
@@ -527,12 +551,18 @@ class FrameEncoder:
             )
             mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
             stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap)
+            rdy, rdu, rdv = out["recon_y"], out["recon_u"], out["recon_v"]
+            if deblock:
+                from .deblock_apply import deblock_pframe_from_symbols
+
+                rdy, rdu, rdv = deblock_pframe_from_symbols(
+                    rdy, rdu, rdv, out["symbols"], qp, qp_c,
+                    self.n_rows, self.n_cols)
             bits_f = bits.astype(jnp.float32)
             # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
             cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp.astype(jnp.float32))
             buf = buf + bits_f - target
-            new_carry = (out["recon_y"], out["recon_u"], out["recon_v"],
-                         qp.astype(jnp.float32), buf, cplx)
+            new_carry = (rdy, rdu, rdv, qp.astype(jnp.float32), buf, cplx)
             return new_carry, (stream, bits, qp)
 
         init = (

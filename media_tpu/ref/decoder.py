@@ -135,8 +135,6 @@ class ReferenceDecoder:
         br = BitReader(rbsp)
         hdr = SliceHeader.parse(br, sps, pps, nal_type=nal_type, nal_ref_idc=nal_ref_idc)
         qp = pps.pic_init_qp + hdr.slice_qp_delta
-        if hdr.disable_deblocking_filter_idc != 1:
-            raise NotImplementedError("in-loop deblocking not implemented in ref decoder")
 
         n_rows = sps.pic_height_in_mbs
         n_cols = sps.pic_width_in_mbs
@@ -182,6 +180,22 @@ class ReferenceDecoder:
                 self._decode_i16(br, y, u, v, r, c, mb_type, qp,
                                  luma_nnz, chroma_nnz, n_cols)
                 mb_idx += 1
+
+        if hdr.disable_deblocking_filter_idc != 1:
+            from .deblock import (
+                deblock_frame_np, inter_bs_grids_np, intra_bs_grids_np)
+
+            qp_c = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            if hdr.is_p:
+                mv_grid = np.zeros((n_rows, n_cols, 2), np.int32)
+                for (rr, cc), (mx, my) in pred_mv.items():
+                    mv_grid[rr, cc] = (mx, my)
+                bs_v, bs_h = inter_bs_grids_np(luma_nnz, mv_grid)
+            else:
+                bs_v, bs_h = intra_bs_grids_np(n_rows, n_cols)
+            y, u, v = deblock_frame_np(
+                np.clip(y, 0, 255), np.clip(u, 0, 255), np.clip(v, 0, 255),
+                qp, qp_c, bs_v, bs_h)
 
         frame = DecodedFrame(
             y=np.clip(y, 0, 255).astype(np.uint8),

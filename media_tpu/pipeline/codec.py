@@ -43,6 +43,9 @@ class EncoderConfig:
     # In-loop deblocking (spec 8.7). Encoder and decoder implement matching
     # filters; disable to get the deblock-free conformance point.
     deblock: bool = True
+    # Slices per frame (SM_FIXEDSLCNUM analog): contiguous MB-row bands with
+    # independent entropy state; the multi-chip tile unit.
+    num_slices: int = 1
 
 
 class EncoderSession:
@@ -54,7 +57,15 @@ class EncoderSession:
         self.pps = PPS(pic_init_qp=cfg.qp, deblocking_filter_control_present=True)
         pad_w = self.sps.pic_width_in_mbs * 16
         pad_h = self.sps.pic_height_in_mbs * 16
-        self._frame_encoder = FrameEncoder(pad_w, pad_h)
+        n_rows = self.sps.pic_height_in_mbs
+        ns = max(1, min(cfg.num_slices, n_rows))
+        bounds = [round(i * n_rows / ns) for i in range(ns + 1)]
+        self.slice_rows = [
+            (bounds[i], bounds[i + 1]) for i in range(ns) if bounds[i] < bounds[i + 1]
+        ]
+        self._frame_encoder = FrameEncoder(
+            pad_w, pad_h, slice_rows=tuple(r0 for r0, _ in self.slice_rows[1:])
+        )
         self._pad_w, self._pad_h = pad_w, pad_h
         self.frame_idx = 0
         self.idr_pic_id = 0
@@ -133,10 +144,10 @@ class EncoderSession:
                 out.extend(self._encode_p_run_cbr(ys, us, vs, k))
                 i += k
                 continue
-            use_device = cfg.entropy_mode == "device" or (
-                cfg.entropy_mode == "auto"
-                and jax.default_backend() != "cpu"
-            )
+            use_device = (
+                cfg.entropy_mode == "device"
+                or (cfg.entropy_mode == "auto" and jax.default_backend() != "cpu")
+            ) and len(self.slice_rows) == 1  # device packer is per-frame today
             if use_device:
                 streams, bits, recon = enc.encode_pframes_packed(
                     ys, us, vs, *self.recon, cfg.qp, deblock=cfg.deblock
@@ -175,7 +186,7 @@ class EncoderSession:
             deblock=cfg.deblock,
         )
         out = []
-        if int(bits.max()) <= enc.cap_words * 32:
+        if len(self.slice_rows) == 1 and int(bits.max()) <= enc.cap_words * 32:
             self.recon = recon
             self.rc_state = new_state
             for j in range(k):
@@ -208,7 +219,8 @@ class EncoderSession:
         merge_slice_data(bw, stream_words, total_bits)
         return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
 
-    def _pslice_header_writer(self, qp: int | None = None) -> BitWriter:
+    def _pslice_header_writer(self, qp: int | None = None,
+                              first_mb: int = 0) -> BitWriter:
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         bw = BitWriter()
@@ -219,6 +231,7 @@ class EncoderSession:
             slice_type=5,
             idr=False,
             frame_num=frame_num,
+            first_mb_in_slice=first_mb,
             slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=0 if cfg.deblock else 1,
         )
@@ -226,22 +239,26 @@ class EncoderSession:
         return bw
 
     def _pslice_au(self, fields: dict, qp: int | None = None) -> bytes:
-        bw = self._pslice_header_writer(qp)
         from .. import native
 
-        if not native.write_pslice_native(
-            bw, fields["mv"], fields["luma_levels"], fields["cdc_levels"],
-            fields["cac_levels"],
-        ):
-            slice_coder.write_pslice_mbs(
-                bw,
-                mv=fields["mv"],
-                luma_levels=fields["luma_levels"],
-                cdc_levels=fields["cdc_levels"],
-                cac_levels=fields["cac_levels"],
-            )
-            bw.rbsp_trailing_bits()
-        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+        n_cols = self.sps.pic_width_in_mbs
+        au = b""
+        for r0, r1 in self.slice_rows:
+            bw = self._pslice_header_writer(qp, first_mb=r0 * n_cols)
+            if not native.write_pslice_native(
+                bw, fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
+                fields["cdc_levels"][r0:r1], fields["cac_levels"][r0:r1],
+            ):
+                slice_coder.write_pslice_mbs(
+                    bw,
+                    mv=fields["mv"][r0:r1],
+                    luma_levels=fields["luma_levels"][r0:r1],
+                    cdc_levels=fields["cdc_levels"][r0:r1],
+                    cac_levels=fields["cac_levels"][r0:r1],
+                )
+                bw.rbsp_trailing_bits()
+            au += wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+        return au
 
     # ------------------------------------------------------------------- IDR
 
@@ -257,32 +274,38 @@ class EncoderSession:
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         self.frame_idx_of_idr = self.frame_idx
 
-        bw = BitWriter()
-        hdr = SliceHeader(
-            slice_type=7,  # I (all slices in picture are I)
-            idr=True,
-            idr_pic_id=self.idr_pic_id,
-            frame_num=0,
-            slice_qp_delta=qp_i - self.pps.pic_init_qp,
-            disable_deblocking_filter_idc=0 if cfg.deblock else 1,
-        )
-        hdr.write(bw, self.sps, self.pps)
         from .. import native
 
-        if not native.write_islice_native(
-            bw, result.mode16, result.chroma_mode, result.dc_levels,
-            result.ac_levels, result.cdc_levels, result.cac_levels,
-        ):
-            slice_coder.write_islice_mbs(
-                bw,
-                mode16=result.mode16,
-                chroma_mode=result.chroma_mode,
-                dc_levels=result.dc_levels,
-                ac_levels=result.ac_levels,
-                cdc_levels=result.cdc_levels,
-                cac_levels=result.cac_levels,
+        n_cols = self.sps.pic_width_in_mbs
+        slice_nals = b""
+        for r0, r1 in self.slice_rows:
+            bw = BitWriter()
+            hdr = SliceHeader(
+                slice_type=7,  # I (all slices in picture are I)
+                idr=True,
+                idr_pic_id=self.idr_pic_id,
+                frame_num=0,
+                first_mb_in_slice=r0 * n_cols,
+                slice_qp_delta=qp_i - self.pps.pic_init_qp,
+                disable_deblocking_filter_idc=0 if cfg.deblock else 1,
             )
-            bw.rbsp_trailing_bits()
+            hdr.write(bw, self.sps, self.pps)
+            if not native.write_islice_native(
+                bw, result.mode16[r0:r1], result.chroma_mode[r0:r1],
+                result.dc_levels[r0:r1], result.ac_levels[r0:r1],
+                result.cdc_levels[r0:r1], result.cac_levels[r0:r1],
+            ):
+                slice_coder.write_islice_mbs(
+                    bw,
+                    mode16=result.mode16[r0:r1],
+                    chroma_mode=result.chroma_mode[r0:r1],
+                    dc_levels=result.dc_levels[r0:r1],
+                    ac_levels=result.ac_levels[r0:r1],
+                    cdc_levels=result.cdc_levels[r0:r1],
+                    cac_levels=result.cac_levels[r0:r1],
+                )
+                bw.rbsp_trailing_bits()
+            slice_nals += wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(), nal_ref_idc=3)
         self.idr_pic_id = (self.idr_pic_id + 1) & 0xFFFF
         self._frame_num = 1  # next frame
 
@@ -295,7 +318,7 @@ class EncoderSession:
         au = (
             wrap_nal(H264NalType.SPS, sps_w.get_bytes())
             + wrap_nal(H264NalType.PPS, pps_w.get_bytes())
-            + wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(), nal_ref_idc=3)
+            + slice_nals
         )
         if cfg.rc_mode == "cbr":
             # Charge the I frame against the buffer at an allowance of 4x the

@@ -116,7 +116,9 @@ class IFrameResult:
 class FrameEncoder:
     """Holds per-geometry constants and the jitted frame encode functions."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, slice_rows: tuple = ()):
+        """slice_rows: MB rows starting a new slice (row 0 implicit). Intra
+        prediction treats cross-slice top neighbors as unavailable."""
         if width % 16 or height % 16:
             raise ValueError("FrameEncoder operates on MB-padded planes")
         self.width = width
@@ -125,6 +127,11 @@ class FrameEncoder:
         self.n_rows = height // 16
         rows, cols, mask = _wave_indices(self.n_rows, self.n_cols)
         self._waves = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(mask))
+        has_top = np.ones(self.n_rows + 2, dtype=bool)
+        has_top[0] = False
+        for r in slice_rows:
+            has_top[r] = False
+        self._row_has_top = jnp.asarray(has_top)
         self._encode_i = self._encode_iframe_device  # jitted via decorator
 
     # ------------------------------------------------------------------ intra
@@ -221,9 +228,9 @@ class FrameEncoder:
         # 2 bits/pixel budget for packed slice_data, 64 KiB minimum.
         return max(self.width * self.height // 16, 16384)
 
-    @functools.partial(jax.jit, static_argnums=(0, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 9, 10))
     def _encode_pbatch_packed_device(self, ys, us, vs, ref_y, ref_u, ref_v,
-                                     qp, qp_c, search_range):
+                                     qp, qp_c, search_range, deblock=False):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import local_pframe_core, unpack_symbols_device
 
@@ -359,7 +366,7 @@ class FrameEncoder:
             c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
             valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
 
-            avail_top = (r > 0) & valid
+            avail_top = self._row_has_top[jnp.clip(r, 0, self.n_rows + 1)] & valid
             avail_left = (c > 0) & valid
             rm1 = jnp.maximum(r - 1, 0)
             cm1 = jnp.maximum(c - 1, 0)

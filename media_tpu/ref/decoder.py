@@ -122,13 +122,18 @@ class ReferenceDecoder:
                 self.pps = PPS.parse(BitReader(nal.rbsp))
             elif nal.nal_type in (H264NalType.SLICE, H264NalType.IDR_SLICE):
                 frame = self._decode_slice(nal.rbsp, nal.nal_type, nal.nal_ref_idc)
-                out.append(frame)
-                self.frames.append(frame)
+                if frame is not None:
+                    out.append(frame)
+                    self.frames.append(frame)
         return out
 
     # ------------------------------------------------------------------ slice
 
-    def _decode_slice(self, rbsp: bytes, nal_type: int, nal_ref_idc: int) -> DecodedFrame:
+    def _decode_slice(self, rbsp: bytes, nal_type: int, nal_ref_idc: int):
+        """Decode one slice NAL; returns the finished DecodedFrame when the
+        slice completes the picture, else None. Slices are contiguous MB-row
+        bands (this framework's SM_FIXEDSLCNUM analog); entropy/prediction
+        state is slice-local, pixels accumulate into the picture buffers."""
         if self.sps is None or self.pps is None:
             raise ValueError("slice before SPS/PPS")
         sps, pps = self.sps, self.pps
@@ -139,58 +144,75 @@ class ReferenceDecoder:
         n_rows = sps.pic_height_in_mbs
         n_cols = sps.pic_width_in_mbs
         H, W = n_rows * 16, n_cols * 16
-        y = np.zeros((H, W), np.int32)
-        u = np.zeros((H // 2, W // 2), np.int32)
-        v = np.zeros((H // 2, W // 2), np.int32)
+        mb_count = n_rows * n_cols
 
-        luma_nnz = np.zeros((n_rows * 4, n_cols * 4), np.int32)
-        chroma_nnz = np.zeros((2, n_rows * 2, n_cols * 2), np.int32)
+        if hdr.first_mb_in_slice == 0 or getattr(self, "_asm", None) is None:
+            self._asm = {
+                "y": np.zeros((H, W), np.int32),
+                "u": np.zeros((H // 2, W // 2), np.int32),
+                "v": np.zeros((H // 2, W // 2), np.int32),
+                "luma_nnz": np.zeros((n_rows * 4, n_cols * 4), np.int32),
+                "chroma_nnz": np.zeros((2, n_rows * 2, n_cols * 2), np.int32),
+                "mv_grid": np.zeros((n_rows, n_cols, 2), np.int32),
+                "covered": 0,
+                "hdr": hdr,
+                "qp": qp,
+            }
+        asm = self._asm
+        y, u, v = asm["y"], asm["u"], asm["v"]
+        luma_nnz, chroma_nnz = asm["luma_nnz"], asm["chroma_nnz"]
 
         if hdr.is_p:
             if self.ref_planes is None:
                 raise ValueError("P slice without reference frame")
             ref_y, ref_u, ref_v = self.ref_planes
 
-        mb_count = n_rows * n_cols
-        mb_idx = 0
-        pred_mv = {}  # (r, c) -> (mvx, mvy) actual MVs for MV prediction
-        while mb_idx < mb_count:
+        mb_idx = hdr.first_mb_in_slice
+        r0 = mb_idx // n_cols  # row-aligned slices
+        pred_mv = {}  # (r - r0, c) -> qpel MV, slice-local
+        start_idx = mb_idx
+        while mb_idx < mb_count and (mb_idx == start_idx or br.more_rbsp_data()):
             if hdr.is_p:
                 skip_run = br.ue()  # mb_skip_run precedes each coded MB
                 for _ in range(skip_run):
                     r, c = divmod(mb_idx, n_cols)
-                    self._decode_p_skip(y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv)
+                    self._decode_p_skip(y, u, v, ref_y, ref_u, ref_v, r, c,
+                                        n_cols, pred_mv, r0, asm["mv_grid"])
                     luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
                     chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
                     mb_idx += 1
-                if mb_idx >= mb_count:
+                if mb_idx >= mb_count or not br.more_rbsp_data():
                     break
                 r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
                 if mb_type >= 5:  # intra MB in P slice
                     self._decode_i16(br, y, u, v, r, c, mb_type - 5, qp,
-                                     luma_nnz, chroma_nnz, n_cols)
+                                     luma_nnz, chroma_nnz, n_cols, r0)
                 else:
                     self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
-                                     mb_type, qp, luma_nnz, chroma_nnz, n_cols, pred_mv)
+                                     mb_type, qp, luma_nnz, chroma_nnz, n_cols,
+                                     pred_mv, r0, asm["mv_grid"])
                 mb_idx += 1
             else:
                 r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
                 self._decode_i16(br, y, u, v, r, c, mb_type, qp,
-                                 luma_nnz, chroma_nnz, n_cols)
+                                 luma_nnz, chroma_nnz, n_cols, r0)
                 mb_idx += 1
 
+        asm["covered"] += mb_idx - start_idx
+        if asm["covered"] < mb_count:
+            return None
+
+        # Picture complete: deblock and emit.
+        self._asm = None
         if hdr.disable_deblocking_filter_idc != 1:
             from .deblock import (
                 deblock_frame_np, inter_bs_grids_np, intra_bs_grids_np)
 
             qp_c = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
             if hdr.is_p:
-                mv_grid = np.zeros((n_rows, n_cols, 2), np.int32)
-                for (rr, cc), (mx, my) in pred_mv.items():
-                    mv_grid[rr, cc] = (mx, my)
-                bs_v, bs_h = inter_bs_grids_np(luma_nnz, mv_grid)
+                bs_v, bs_h = inter_bs_grids_np(luma_nnz, asm["mv_grid"])
             else:
                 bs_v, bs_h = intra_bs_grids_np(n_rows, n_cols)
             y, u, v = deblock_frame_np(
@@ -214,7 +236,8 @@ class ReferenceDecoder:
 
     # ------------------------------------------------------------- intra 16x16
 
-    def _decode_i16(self, br, y, u, v, r, c, mb_type, qp, luma_nnz, chroma_nnz, n_cols):
+    def _decode_i16(self, br, y, u, v, r, c, mb_type, qp, luma_nnz, chroma_nnz,
+                    n_cols, r0=0):
         if not 1 <= mb_type <= 24:
             raise NotImplementedError(f"mb_type {mb_type} (only I_16x16 supported)")
         mt = mb_type - 1
@@ -227,14 +250,14 @@ class ReferenceDecoder:
             raise NotImplementedError("mb_qp_delta != 0")
 
         # Residual parse
-        n_c = self._nc(luma_nnz, r * 4, c * 4)
+        n_c = self._nc(luma_nnz, r * 4, c * 4, 4 * r0)
         dc_scan, _ = cavlc.decode_block(br, n_c, 16)
         ac = np.zeros((16, 15), np.int32)
         if cbp_luma:
             for zi in range(16):
                 bi = _ZSCAN[zi]
                 by, bx = r * 4 + bi // 4, c * 4 + bi % 4
-                n_c = self._nc(luma_nnz, by, bx)
+                n_c = self._nc(luma_nnz, by, bx, 4 * r0)
                 coeffs, tc = cavlc.decode_block(br, n_c, 15)
                 ac[bi] = coeffs
                 luma_nnz[by, bx] = tc
@@ -250,7 +273,7 @@ class ReferenceDecoder:
             for comp in range(2):
                 for bi in range(4):
                     by, bx = r * 2 + bi // 2, c * 2 + bi % 2
-                    n_c = self._nc(chroma_nnz[comp], by, bx)
+                    n_c = self._nc(chroma_nnz[comp], by, bx, 2 * r0)
                     coeffs, tc = cavlc.decode_block(br, n_c, 15)
                     cac[comp, bi] = coeffs
                     chroma_nnz[comp, by, bx] = tc
@@ -258,17 +281,17 @@ class ReferenceDecoder:
             chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
 
         # Prediction
-        pred = self._pred16(y, r, c, pred_mode)
+        pred = self._pred16(y, r, c, pred_mode, r0)
         self._recon_luma_i16(y, r, c, pred, dc_scan, ac, qp)
         for comp, plane in ((0, u), (1, v)):
-            cpred = self._pred_chroma(plane, r, c, chroma_mode)
+            cpred = self._pred_chroma(plane, r, c, chroma_mode, r0)
             qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
             self._recon_chroma(plane, r, c, cpred, cdc[comp], cac[comp], qpc)
 
     @staticmethod
-    def _nc(nnz, by, bx):
+    def _nc(nnz, by, bx, min_by=0):
         a = bx > 0
-        b = by > 0
+        b = by > min_by
         if a and b:
             return (int(nnz[by, bx - 1]) + int(nnz[by - 1, bx]) + 1) >> 1
         if a:
@@ -278,9 +301,9 @@ class ReferenceDecoder:
         return 0
 
     @staticmethod
-    def _pred16(y, r, c, mode):
+    def _pred16(y, r, c, mode, r0=0):
         y0, x0 = r * 16, c * 16
-        has_top = r > 0
+        has_top = r > r0
         has_left = c > 0
         pred = np.zeros((16, 16), np.int64)
         if mode == 0:  # vertical
@@ -313,9 +336,9 @@ class ReferenceDecoder:
         return pred
 
     @staticmethod
-    def _pred_chroma(plane, r, c, mode):
+    def _pred_chroma(plane, r, c, mode, r0=0):
         y0, x0 = r * 8, c * 8
-        has_top = r > 0
+        has_top = r > r0
         has_left = c > 0
         pred = np.zeros((8, 8), np.int64)
         if mode == 0:  # DC, per 4x4 quadrant
@@ -485,24 +508,30 @@ class ReferenceDecoder:
             + 32
         ) >> 6
 
-    def _decode_p_skip(self, y, u, v, ref_y, ref_u, ref_v, r, c, n_cols, pred_mv):
-        """P_Skip: MV inferred by the shared skip rule (spec 8.4.1.1)."""
-        mvx, mvy = mv_pred.skip_mv(pred_mv, r, c, n_cols)
-        pred_mv[(r, c)] = (mvx, mvy)
+    def _decode_p_skip(self, y, u, v, ref_y, ref_u, ref_v, r, c, n_cols,
+                       pred_mv, r0=0, mv_grid=None):
+        """P_Skip: MV inferred by the shared skip rule (spec 8.4.1.1).
+        pred_mv is slice-local, keyed by (r - r0, c)."""
+        mvx, mvy = mv_pred.skip_mv(pred_mv, r - r0, c, n_cols)
+        pred_mv[(r - r0, c)] = (mvx, mvy)
+        if mv_grid is not None:
+            mv_grid[r, c] = (mvx, mvy)
         y0, x0 = r * 16, c * 16
         y[y0 : y0 + 16, x0 : x0 + 16] = self._mc_luma(ref_y, r, c, mvx, mvy)
         u[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_u, r, c, mvx, mvy)
         v[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_v, r, c, mvx, mvy)
 
     def _decode_p16(self, br, y, u, v, ref_y, ref_u, ref_v, r, c, mb_type, qp,
-                    luma_nnz, chroma_nnz, n_cols, pred_mv):
+                    luma_nnz, chroma_nnz, n_cols, pred_mv, r0=0, mv_grid=None):
         if mb_type != 0:
             raise NotImplementedError(f"P mb_type {mb_type} (only P_L0_16x16)")
         mvdx = br.se()
         mvdy = br.se()
-        px, py = self._mv_pred(pred_mv, r, c, n_cols)
+        px, py = self._mv_pred(pred_mv, r - r0, c, n_cols)
         mvx, mvy = px + mvdx, py + mvdy
-        pred_mv[(r, c)] = (mvx, mvy)
+        pred_mv[(r - r0, c)] = (mvx, mvy)
+        if mv_grid is not None:
+            mv_grid[r, c] = (mvx, mvy)
 
         pred_y = self._mc_luma(ref_y, r, c, mvx, mvy)
         pred_u = self._mc_chroma(ref_u, r, c, mvx, mvy)
@@ -528,7 +557,7 @@ class ReferenceDecoder:
             for k in range(4):
                 bi = _ZSCAN[g8 * 4 + k]
                 by, bx = r * 4 + bi // 4, c * 4 + bi % 4
-                n_c = self._nc(luma_nnz, by, bx)
+                n_c = self._nc(luma_nnz, by, bx, 4 * r0)
                 coeffs, tc = cavlc.decode_block(br, n_c, 16)
                 ac[bi] = coeffs
                 luma_nnz[by, bx] = tc
@@ -542,7 +571,7 @@ class ReferenceDecoder:
             for comp in range(2):
                 for bi in range(4):
                     by, bx = r * 2 + bi // 2, c * 2 + bi % 2
-                    n_c = self._nc(chroma_nnz[comp], by, bx)
+                    n_c = self._nc(chroma_nnz[comp], by, bx, 2 * r0)
                     coeffs, tc = cavlc.decode_block(br, n_c, 15)
                     cac[comp, bi] = coeffs
                     chroma_nnz[comp, by, bx] = tc

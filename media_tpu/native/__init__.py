@@ -177,3 +177,37 @@ def escape_rbsp_native(data: bytes) -> bytes | None:
     if m < 0:
         return None
     return out[:m].tobytes()
+
+
+def build_capi() -> str | None:
+    """Build the C ABI bridge (csrc/api) -> libVideoCodec .so; returns path."""
+    src = os.path.join(_CSRC, "api", "video_codec_api.cpp")
+    if not os.path.exists(src):
+        return None
+    build_dir = os.path.join(_CSRC, "build")
+    os.makedirs(build_dir, exist_ok=True)
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(build_dir, f"libVideoCodec_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    import sysconfig
+
+    inc = sysconfig.get_path("include")
+    libdir = sysconfig.get_config_var("LIBDIR")
+    ver = f"{sys.version_info.major}.{sys.version_info.minor}"
+    tmp = so_path + ".tmp"
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        f"-I{inc}", src, "-o", tmp,
+        f"-L{libdir}", f"-lpython{ver}",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, cwd=_CSRC)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        err = getattr(e, "stderr", b"")
+        sys.stderr.write(f"media_tpu.native: C ABI build failed ({e}): "
+                         f"{err[:500] if err else ''}\n")
+        return None
+    os.replace(tmp, so_path)
+    return so_path

@@ -53,15 +53,9 @@ TC0_TABLE = np.array(
 )
 
 
-def filter_edge_luma(p, q, bs, alpha, beta, tc0):
-    """Filter one luma edge (spec 8.7.2.3/8.7.2.4), vectorized over lanes.
-
-    p: (..., 4) samples p3..p0 (p[..., 3] is p0, adjacent to the edge);
-    q: (..., 4) samples q0..q3. bs/alpha/beta/tc0 broadcastable over lanes.
-    Returns (p_new, q_new) with the same layout.
-    """
-    p3, p2, p1, p0 = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
-    q0, q1, q2, q3 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+def filter_luma_taps(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+    """Tap-wise luma edge filter core (spec 8.7.2.3/8.7.2.4). All args are
+    broadcastable lane arrays; returns (p2', p1', p0', q0', q1', q2')."""
 
     filt = (
         (bs > 0)
@@ -103,18 +97,21 @@ def filter_edge_luma(p, q, bs, alpha, beta, tc0):
     q1_o = jnp.where(filt & ~is4, q1_n, jnp.where(filt & is4, q1_s, q1))
     q2_o = jnp.where(filt & is4, q2_s, q2)
 
-    p_new = jnp.stack([p3, p2_o, p1_o, p0_o], axis=-1)
-    q_new = jnp.stack([q0_o, q1_o, q2_o, q3], axis=-1)
+    return p2_o, p1_o, p0_o, q0_o, q1_o, q2_o
+
+
+def filter_edge_luma(p, q, bs, alpha, beta, tc0):
+    """Array form: p (..., 4) = p3..p0 (p[...,3] adjacent); q (..., 4) = q0..q3."""
+    p2_o, p1_o, p0_o, q0_o, q1_o, q2_o = filter_luma_taps(
+        p[..., 0], p[..., 1], p[..., 2], p[..., 3],
+        q[..., 0], q[..., 1], q[..., 2], q[..., 3], bs, alpha, beta, tc0)
+    p_new = jnp.stack([p[..., 0], p2_o, p1_o, p0_o], axis=-1)
+    q_new = jnp.stack([q0_o, q1_o, q2_o, q[..., 3]], axis=-1)
     return p_new, q_new
 
 
-def filter_edge_chroma(p, q, bs, alpha, beta, tc0):
-    """Chroma edge filter (only p0/q0 change; spec 8.7.2.3/8.7.2.4).
-
-    p: (..., 2) = [p1, p0]; q: (..., 2) = [q0, q1].
-    """
-    p1, p0 = p[..., 0], p[..., 1]
-    q0, q1 = q[..., 0], q[..., 1]
+def filter_chroma_taps(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    """Tap-wise chroma filter core; returns (p0', q0')."""
     filt = (
         (bs > 0)
         & (jnp.abs(p0 - q0) < alpha)
@@ -130,9 +127,16 @@ def filter_edge_chroma(p, q, bs, alpha, beta, tc0):
     is4 = bs >= 4
     p0_o = jnp.where(filt, jnp.where(is4, p0_s, p0_n), p0)
     q0_o = jnp.where(filt, jnp.where(is4, q0_s, q0_n), q0)
+    return p0_o, q0_o
+
+
+def filter_edge_chroma(p, q, bs, alpha, beta, tc0):
+    """Array form: p (..., 2) = [p1, p0]; q (..., 2) = [q0, q1]."""
+    p0_o, q0_o = filter_chroma_taps(
+        p[..., 0], p[..., 1], q[..., 0], q[..., 1], bs, alpha, beta, tc0)
     return (
-        jnp.stack([p1, p0_o], axis=-1),
-        jnp.stack([q0_o, q1], axis=-1),
+        jnp.stack([p[..., 0], p0_o], axis=-1),
+        jnp.stack([q0_o, q[..., 1]], axis=-1),
     )
 
 

@@ -36,6 +36,56 @@ def _skew_waves(R: int, C: int):
     return rows, cols, mask
 
 
+def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
+                      tcch, alpha, beta, alpha_c, beta_c):
+    """XLA twin of ops/deblock_pallas._wave_kernel (same tap-wise math)."""
+    from ..ops.deblock import filter_chroma_taps, filter_luma_taps
+
+    def set_col(a, x, val):
+        return a.at[:, 4:20, x : x + 1].set(val)
+
+    def set_row(a, y_, val):
+        return a.at[:, y_ : y_ + 1, 4:20].set(val)
+
+    for e in range(4):
+        x = 4 + 4 * e
+        taps = [patch[:, 4:20, x - 4 + k : x - 3 + k] for k in range(8)]
+        out = filter_luma_taps(*taps, bsv[e], alpha, beta, tcv[e])
+        for k, val in enumerate(out):
+            patch = set_col(patch, x - 3 + k, val)
+    for e in range(4):
+        y_ = 4 + 4 * e
+        taps = [patch[:, y_ - 4 + k : y_ - 3 + k, 4:20] for k in range(8)]
+        out = filter_luma_taps(*taps, bsh[e], alpha, beta, tch[e])
+        for k, val in enumerate(out):
+            patch = set_row(patch, y_ - 3 + k, val)
+
+    def chroma(cp):
+        for e in range(2):
+            x = 4 + 4 * e
+            p1 = cp[:, 4:12, x - 2 : x - 1]
+            p0 = cp[:, 4:12, x - 1 : x]
+            q0 = cp[:, 4:12, x : x + 1]
+            q1 = cp[:, 4:12, x + 1 : x + 2]
+            p0n, q0n = filter_chroma_taps(p1, p0, q0, q1, bscv[e],
+                                          alpha_c, beta_c, tccv[e])
+            cp = cp.at[:, 4:12, x - 1 : x].set(p0n)
+            cp = cp.at[:, 4:12, x : x + 1].set(q0n)
+        for e in range(2):
+            y_ = 4 + 4 * e
+            p1 = cp[:, y_ - 2 : y_ - 1, 4:12]
+            p0 = cp[:, y_ - 1 : y_, 4:12]
+            q0 = cp[:, y_ : y_ + 1, 4:12]
+            q1 = cp[:, y_ + 1 : y_ + 2, 4:12]
+            p0n, q0n = filter_chroma_taps(p1, p0, q0, q1, bsch[e],
+                                          alpha_c, beta_c, tcch[e])
+            cp = cp.at[:, y_ - 1 : y_, 4:12].set(p0n)
+            cp = cp.at[:, y_ : y_ + 1, 4:12].set(q0n)
+        return cp
+
+    return patch, chroma(cu), chroma(cv)
+
+
 def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     """Deblock one frame in-place-semantics: returns filtered (y, u, v).
 
@@ -69,6 +119,24 @@ def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     span12 = jnp.arange(12)
     span4 = jnp.arange(4)
 
+    import os
+
+    backend = os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL", "auto")
+    on_cpu = jax.default_backend() == "cpu"
+    # The Pallas wave kernel is the intended fast path; until its Mosaic
+    # compile is validated on the real chip it is default only on CPU
+    # (interpret mode), where tests pin bit-exactness.
+    use_pallas = backend == "pallas" or (backend == "auto" and on_cpu)
+    interpret = on_cpu
+    params = jnp.stack([alpha, beta, alpha_c, beta_c]).astype(jnp.int32)
+
+    def tc0_sel(bs, row):
+        return jnp.where(bs == 1, row[0],
+                         jnp.where(bs == 2, row[1],
+                                   jnp.where(bs == 3, row[2], 0)))
+
+    from ..ops.deblock_pallas import deblock_wave_pallas
+
     def wave_step(planes, k):
         yp, up, vp = planes
         r = jax.lax.dynamic_index_in_dim(rows_t, k, keepdims=False)
@@ -78,81 +146,50 @@ def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
         # (otherwise they would duplicate MB (0,0)'s indices and clobber it).
         rr = jnp.where(valid, r, R + 1)
         cc = jnp.where(valid, c, C + 1)
+        mask3 = valid[:, None, None]
 
-        # ---- luma patch (N, 20, 20): origin (16r - 4, 16c - 4) in frame =
-        # (16r, 16c) in padded coords.
+        # Gather patches.
         py = rr[:, None] * 16 + span20[None, :]
         px = cc[:, None] * 16 + span20[None, :]
         patch = yp[py[:, :, None], px[:, None, :]]
+        cy = rr[:, None] * 8 + span12[None, :]
+        cx = cc[:, None] * 8 + span12[None, :]
+        upatch = up[cy[:, :, None], cx[:, None, :]]
+        vpatch = vp[cy[:, :, None], cx[:, None, :]]
 
-        # per-edge bS rows: block row indices of this MB
-        brow = rr[:, None] * 4 + span4[None, :]  # (N,4)
+        # Per-edge strengths/tc0, edge index leading (Mosaic-friendly).
+        brow = jnp.clip(rr[:, None] * 4 + span4[None, :], 0, R * 4 - 1)  # (N,4)
+        bcol = jnp.clip(cc[:, None] * 4 + span4[None, :], 0, C * 4 - 1)
+        ecol = jnp.clip(cc[:, None, None] * 4 + span4[None, :, None], 0, C * 4 - 1)
+        erow = jnp.clip(rr[:, None, None] * 4 + span4[None, :, None], 0, R * 4 - 1)
+        bsv_mb = jnp.where(mask3, bs_v[brow[:, None, :], ecol], 0)  # (N,4e,4blk)
+        bsh_mb = jnp.where(mask3, bs_h[erow, bcol[:, None, :]], 0)
 
-        for e in range(4):
-            x = 4 + 4 * e
-            bcol = cc * 4 + e
-            bs = bs_v[brow, bcol[:, None]]  # (N, 4)
-            bs16 = jnp.repeat(bs, 4, axis=1)  # (N, 16)
-            p = patch[:, 4:20, x - 4 : x]
-            q = patch[:, 4:20, x : x + 4]
-            pn, qn = db.filter_edge_luma(p, q, bs16, alpha, beta,
-                                         tc0_of(bs16, tc0_row))
-            patch = patch.at[:, 4:20, x - 4 : x].set(pn)
-            patch = patch.at[:, 4:20, x : x + 4].set(qn)
-        for e in range(4):
-            yy = 4 + 4 * e
-            brow_e = rr * 4 + e
-            bcol4 = cc[:, None] * 4 + span4[None, :]
-            bs = bs_h[brow_e[:, None], bcol4]  # (N, 4)
-            bs16 = jnp.repeat(bs, 4, axis=1)
-            p = patch[:, yy - 4 : yy, 4:20].swapaxes(1, 2)  # (N, 16, 4)
-            q = patch[:, yy : yy + 4, 4:20].swapaxes(1, 2)
-            pn, qn = db.filter_edge_luma(p, q, bs16, alpha, beta,
-                                         tc0_of(bs16, tc0_row))
-            patch = patch.at[:, yy - 4 : yy, 4:20].set(pn.swapaxes(1, 2))
-            patch = patch.at[:, yy : yy + 4, 4:20].set(qn.swapaxes(1, 2))
+        bsv16 = jnp.repeat(bsv_mb, 4, axis=2).transpose(1, 0, 2)[..., None]
+        bsh16 = jnp.repeat(bsh_mb, 4, axis=2).transpose(1, 0, 2)[:, :, None, :]
+        tcv16 = tc0_sel(bsv16, tc0_row)
+        tch16 = tc0_sel(bsh16, tc0_row)
+        # Chroma edges use luma edges 0 and 2; 8 lanes map to blocks by /2.
+        bscv = jnp.repeat(bsv_mb[:, (0, 2), :], 2, axis=2).transpose(1, 0, 2)[..., None]
+        bsch = jnp.repeat(bsh_mb[:, (0, 2), :], 2, axis=2).transpose(1, 0, 2)[:, :, None, :]
+        tccv = tc0_sel(bscv, tc0_row_c)
+        tcch = tc0_sel(bsch, tc0_row_c)
 
-        mask3 = valid[:, None, None]
-        old = yp[py[:, :, None], px[:, None, :]]
+        if use_pallas:
+            patch_f, up_f, vp_f = deblock_wave_pallas(
+                params, bsv16, tcv16, bsh16, tch16, bscv, tccv, bsch, tcch,
+                patch, upatch, vpatch, interpret)
+        else:
+            patch_f, up_f, vp_f = _wave_filters_xla(
+                patch, upatch, vpatch, bsv16, tcv16, bsh16, tch16,
+                bscv, tccv, bsch, tcch, alpha, beta, alpha_c, beta_c)
+
         yp = yp.at[py[:, :, None], px[:, None, :]].set(
-            jnp.where(mask3, patch, old), mode="drop"
-        )
-
-        # ---- chroma patches (N, 12, 12): origin (8r - 4, 8c - 4).
-        def chroma_pass(plane):
-            cy = rr[:, None] * 8 + span12[None, :]
-            cx = cc[:, None] * 8 + span12[None, :]
-            cpatch = plane[cy[:, :, None], cx[:, None, :]]
-            for e in range(2):
-                x = 4 + 4 * e
-                bcol = cc * 4 + 2 * e
-                # chroma lane j (0..7) maps to luma block row 4r + j//2
-                lane_block = rr[:, None] * 4 + (jnp.arange(8) // 2)[None, :]
-                bs8 = bs_v[lane_block, bcol[:, None]]  # (N, 8)
-                p = cpatch[:, 4:12, x - 2 : x]
-                q = cpatch[:, 4:12, x : x + 2]
-                pn, qn = db.filter_edge_chroma(p, q, bs8, alpha_c, beta_c,
-                                               tc0_of(bs8, tc0_row_c))
-                cpatch = cpatch.at[:, 4:12, x - 2 : x].set(pn)
-                cpatch = cpatch.at[:, 4:12, x : x + 2].set(qn)
-            for e in range(2):
-                yy = 4 + 4 * e
-                brow_e = rr * 4 + 2 * e
-                lane_block = cc[:, None] * 4 + (jnp.arange(8) // 2)[None, :]
-                bs8 = bs_h[brow_e[:, None], lane_block]
-                p = cpatch[:, yy - 2 : yy, 4:12].swapaxes(1, 2)
-                q = cpatch[:, yy : yy + 2, 4:12].swapaxes(1, 2)
-                pn, qn = db.filter_edge_chroma(p, q, bs8, alpha_c, beta_c,
-                                               tc0_of(bs8, tc0_row_c))
-                cpatch = cpatch.at[:, yy - 2 : yy, 4:12].set(pn.swapaxes(1, 2))
-                cpatch = cpatch.at[:, yy : yy + 2, 4:12].set(qn.swapaxes(1, 2))
-            old_c = plane[cy[:, :, None], cx[:, None, :]]
-            return plane.at[cy[:, :, None], cx[:, None, :]].set(
-                jnp.where(mask3, cpatch, old_c), mode="drop"
-            )
-
-        up = chroma_pass(up)
-        vp = chroma_pass(vp)
+            jnp.where(mask3, patch_f, patch), mode="drop")
+        up = up.at[cy[:, :, None], cx[:, None, :]].set(
+            jnp.where(mask3, up_f, upatch), mode="drop")
+        vp = vp.at[cy[:, :, None], cx[:, None, :]].set(
+            jnp.where(mask3, vp_f, vpatch), mode="drop")
         return (yp, up, vp), None
 
     (yp, up, vp), _ = jax.lax.scan(wave_step, (yp, up, vp), jnp.arange(n_waves))

@@ -27,20 +27,33 @@ BASELINE_FPS = 30.0  # OpenH264 single-core 1080p (see module docstring)
 
 
 def synthetic_video(w, h, n, seed=0):
-    """Moving textured scene: global pan + local object motion + light noise."""
+    """Natural-statistics scene: smooth texture, sub-pixel global pan, a
+    moving object, and mild sensor noise — the content class the codec's
+    tools (sub-pel ME, deblocking) target, unlike pure noise."""
     rng = np.random.default_rng(seed)
-    big = rng.integers(0, 256, (h + 128, w + 128)).astype(np.int32)
-    big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
-           + np.roll(big, 2, 0) + np.roll(big, 2, 1)) // 5
+    big = rng.integers(0, 256, (h + 160, w + 160)).astype(np.float64)
+    for _ in range(3):  # low-pass into natural-image-like statistics
+        big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)
+               + np.roll(big, 3, 0) + np.roll(big, 3, 1)) / 5
+    big = (big - big.min()) / (big.max() - big.min()) * 220 + 16
     frames = []
     for t in range(n):
-        dx, dy = (3 * t) % 64, (2 * t) % 64
-        y = big[dy : dy + h, dx : dx + w].astype(np.uint8).copy()
+        dx, dy = 2.5 * t % 96, 1.25 * t % 96
+        ix, iy = int(dx), int(dy)
+        fx, fy = dx - ix, dy - iy
+        a = big[iy : iy + h, ix : ix + w]
+        b = big[iy : iy + h, ix + 1 : ix + w + 1]
+        c = big[iy + 1 : iy + h + 1, ix : ix + w]
+        d = big[iy + 1 : iy + h + 1, ix + 1 : ix + w + 1]
+        y = ((1 - fx) * (1 - fy) * a + fx * (1 - fy) * b
+             + (1 - fx) * fy * c + fx * fy * d)
         bx = (40 + 11 * t) % max(w - 80, 1)
         by = (30 + 7 * t) % max(h - 80, 1)
-        y[by : by + 64, bx : bx + 64] = ((y[by : by + 64, bx : bx + 64].astype(np.int32) + 90) % 256).astype(np.uint8)
-        u = ((big[dy : dy + h : 2, dx : dx + w : 2] // 2) + 40).astype(np.uint8)
-        v = ((big[dy : dy + h : 2, dx : dx + w : 2] // 3) + 70).astype(np.uint8)
+        y[by : by + 64, bx : bx + 64] = 255 - y[by : by + 64, bx : bx + 64]
+        y = y + rng.normal(0, 1.5, y.shape)  # mild sensor noise
+        y = y.round().clip(0, 255).astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 40).astype(np.uint8)
+        v = (y[::2, ::2] // 3 + 70).astype(np.uint8)
         frames.append((y, u, v))
     return frames
 

@@ -121,12 +121,14 @@ def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
 
     import os
 
-    backend = os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL", "auto")
+    backend = os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL", "xla")
     on_cpu = jax.default_backend() == "cpu"
-    # The Pallas wave kernel is the intended fast path; until its Mosaic
-    # compile is validated on the real chip it is default only on CPU
-    # (interpret mode), where tests pin bit-exactness.
-    use_pallas = backend == "pallas" or (backend == "auto" and on_cpu)
+    # The Pallas wave kernel compiles and is bit-exact on the real chip, but
+    # per-wave dispatch through the remote-execution tunnel is far slower
+    # than the XLA formulation, and interpret mode is slow on CPU — so XLA
+    # is the default everywhere; set MEDIA_TPU_DEBLOCK_KERNEL=pallas to
+    # opt in (tests pin the kernel's bit-exactness explicitly).
+    use_pallas = backend == "pallas"
     interpret = on_cpu
     params = jnp.stack([alpha, beta, alpha_c, beta_c]).astype(jnp.int32)
 

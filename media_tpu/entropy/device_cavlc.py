@@ -153,25 +153,25 @@ def _pack_codes(vals, lens, n_words: int):
     hi = jnp.where(lens > 0, hi, 0)
     lo = jnp.where(spill > 0, lo, 0)
 
-    # Scatter-free reduction (TPU scatters serialize): the word index per slot
-    # is NON-decreasing along the slot axis, so "sum of hi over slots landing
-    # in word j" is a difference of prefix sums at positions found by counting
-    # (bit ranges within a word are disjoint, so modular sums == OR).
+    # Scatter-free reduction (TPU scatters serialize): route each slot's word
+    # to its bucket with a one-hot bf16 matmul on the MXU. Bit ranges within a
+    # word are disjoint across slots (offsets are a cumsum), so per-byte sums
+    # never carry (each byte has one contributor) and bf16/f32 stays exact.
     def bucket_sum(values, word_idx):
-        pref = jnp.concatenate(
-            [jnp.zeros((n, 1), jnp.uint32), jnp.cumsum(values, axis=1)], axis=1
-        )
-        ws = jnp.arange(n_words, dtype=jnp.int32)
-        cnt_less = jnp.sum(
-            (word_idx[:, :, None] < ws[None, None, :]).astype(jnp.int32), axis=1
-        )
-        cnt_leq = jnp.sum(
-            (word_idx[:, :, None] <= ws[None, None, :]).astype(jnp.int32), axis=1
-        )
-        return (
-            jnp.take_along_axis(pref, cnt_leq, axis=1)
-            - jnp.take_along_axis(pref, cnt_less, axis=1)
-        )
+        onehot = (
+            word_idx[:, :, None] == jnp.arange(n_words, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)  # (N, S, W)
+        vb = jnp.stack(
+            [(values >> (8 * b)) & jnp.uint32(0xFF) for b in range(4)], axis=-1
+        ).astype(jnp.bfloat16)  # (N, S, 4)
+        out = jax.lax.dot_general(
+            onehot, vb,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (N, W, 4)
+        ob = out.astype(jnp.uint32)
+        return (ob[..., 0] | (ob[..., 1] << 8) | (ob[..., 2] << 16)
+                | (ob[..., 3] << 24))
 
     words = bucket_sum(hi, w) + bucket_sum(lo, w + 1)
     return words, nbits
@@ -223,11 +223,19 @@ def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
         sign_bits = jnp.where(k < trailing_ones, (sign_bits << 1) | bit, sign_bits)
 
     # slots 2..2+mc-1: levels, via a light scan carrying only suffix_length.
+    # The k-th coded level is level_from_end[t1 + k]; t1 <= 3, so pre-shift
+    # the array by the four possible t1 values (static rolls, no gather) and
+    # feed the scan its level row directly.
     n_rem = total_coeff - trailing_ones
+    lev_seq = jnp.where(
+        (trailing_ones == 0)[:, None], level_from_end,
+        jnp.where((trailing_ones == 1)[:, None], jnp.roll(level_from_end, -1, 1),
+                  jnp.where((trailing_ones == 2)[:, None],
+                            jnp.roll(level_from_end, -2, 1),
+                            jnp.roll(level_from_end, -3, 1))))
 
-    def level_step(suf, k):
-        idx = jnp.clip(trailing_ones + k, 0, mc - 1)
-        lev = jnp.take_along_axis(level_from_end, idx[:, None], axis=1)[:, 0]
+    def level_step(suf, xs):
+        lev, k = xs
         active = k < n_rem
         lc = jnp.where(lev > 0, 2 * lev - 2, -2 * lev - 1)
         lc = jnp.where((k == 0) & (trailing_ones < 3), lc - 2, lc)
@@ -254,7 +262,8 @@ def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
 
     suf0 = jnp.where((total_coeff > 10) & (trailing_ones < 3), 1, 0)
     _, (lev_vals, lev_lens) = jax.lax.scan(
-        level_step, suf0, jnp.arange(mc, dtype=jnp.int32))
+        level_step, suf0, (lev_seq.T, jnp.arange(mc, dtype=jnp.int32)),
+        unroll=mc)
     lev_vals = lev_vals.T  # (N, mc)
     lev_lens = lev_lens.T
 
@@ -282,8 +291,19 @@ def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
     zl = total_zeros[:, None] - (jnp.cumsum(runs, axis=1) - runs)
     active = ((kk[None, :] < total_coeff[:, None] - 1) & (zl > 0))
     zl_idx = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
-    rb_len = jnp.asarray(_LEN_RB)[zl_idx, runs]
-    rb_val = jnp.asarray(_COD_RB)[zl_idx, runs]
+    # Table lookup as a one-hot bf16 matmul (values <= 255, exact): element
+    # gathers serialize on TPU, the MXU does not.
+    rb_flat = (zl_idx * 15 + runs).reshape(-1)
+    rb_onehot = (
+        rb_flat[:, None] == jnp.arange(105, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    rb_tbl = jnp.stack(
+        [jnp.asarray(_LEN_RB).reshape(-1), jnp.asarray(_COD_RB).reshape(-1)],
+        axis=1).astype(jnp.bfloat16)
+    rb_out = jnp.dot(rb_onehot, rb_tbl,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    rb_len = rb_out[:, 0].reshape(zl_idx.shape)
+    rb_val = rb_out[:, 1].reshape(zl_idx.shape)
     rb_len = jnp.where(active, rb_len, 0)
 
     vals = jnp.concatenate([

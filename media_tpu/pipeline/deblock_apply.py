@@ -86,13 +86,239 @@ def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
     return patch, chroma(cu), chroma(cv)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _wave_layout(R: int, C: int):
+    """Static wave-major layout for the skew schedule w = 2r + c.
+
+    Lanes within wave k are indexed by r ascending from r0(k). Neighbor MBs
+    (left (r,c-1) -> wave k-1, top (r-1,c) -> wave k-2) sit at a lane offset
+    that is CONSTANT within each wave (shift in {-1,0,1}), so the whole scan
+    runs on contiguous dynamic slices — no per-wave gathers or scatters.
+    Two dummy wave slots are prepended so k-1/k-2 never need clamping.
+    """
+    n_waves = 2 * (R - 1) + C if R > 0 else 0
+    r0 = np.zeros(n_waves, np.int32)
+    ln = np.zeros(n_waves, np.int32)
+    for k in range(n_waves):
+        lo = max(0, -(-(k - C + 1) // 2))  # ceil((k-C+1)/2)
+        hi = min(R - 1, k // 2)
+        r0[k] = lo
+        ln[k] = max(0, hi - lo + 1)
+    maxw = int(ln.max()) if n_waves else 1
+    LW = maxw + 2  # 1 margin lane each side for the +-1 neighbor shifts
+
+    valid = np.zeros((n_waves + 2, LW), bool)
+    # raster (r,c) -> flat wave-major index ((k+2) * LW + 1 + lane)
+    perm_from = np.zeros(R * C, np.int64)
+    # wave-major lane -> flat raster index (sentinel R*C for padding)
+    perm_to = np.full((n_waves + 2) * LW, R * C, np.int64)
+    for k in range(n_waves):
+        for i in range(ln[k]):
+            r = r0[k] + i
+            c = k - 2 * r
+            valid[k + 2, 1 + i] = True
+            perm_from[r * C + c] = (k + 2) * LW + 1 + i
+            perm_to[(k + 2) * LW + 1 + i] = r * C + c
+    # neighbor lane shifts per wave (left: same r in wave k-1; top: r-1 in k-2)
+    r0p = np.concatenate([[0, 0], r0])  # padded so k-1/k-2 index safely
+    s_left = np.zeros(n_waves, np.int32)
+    s_top = np.zeros(n_waves, np.int32)
+    for k in range(n_waves):
+        s_left[k] = r0[k] - (r0[k - 1] if k >= 1 else 0)
+        s_top[k] = r0[k] - 1 - (r0[k - 2] if k >= 2 else 0)
+    s_left = np.clip(s_left, -1, 1)
+    s_top = np.clip(s_top, -1, 1)
+    return {
+        "n_waves": n_waves, "LW": LW, "maxw": maxw, "valid": valid,
+        "perm_from": perm_from, "perm_to": perm_to,
+        "s_left": s_left, "s_top": s_top,
+    }
+
+
+def _to_wave(flat, perm_to, n_slots):
+    """(R*C, D) -> (n_slots, D) row-take with zero fill for padding lanes."""
+    src = jnp.concatenate([flat, jnp.zeros((1,) + flat.shape[1:], flat.dtype)])
+    return jnp.take(src, jnp.asarray(perm_to), axis=0)
+
+
+def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
+    """Wave-major deblocking: one shear in, contiguous-slice scan, one shear
+    out. Bit-identical to the gather/scatter formulation (tests)."""
+    lay = _wave_layout(R, C)
+    n_waves, LW, maxw = lay["n_waves"], lay["LW"], lay["maxw"]
+    n_slots = (n_waves + 2) * LW
+
+    alpha = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp, 0, 51)]
+    beta = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp, 0, 51)]
+    tc0_row = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp, 0, 51)]
+    alpha_c = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp_c, 0, 51)]
+    beta_c = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp_c, 0, 51)]
+    tc0_row_c = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp_c, 0, 51)]
+
+    def tc0_sel(bs, row):
+        return jnp.where(bs == 1, row[0],
+                         jnp.where(bs == 2, row[1],
+                                   jnp.where(bs == 3, row[2], 0)))
+
+    # ---- frame-level bS / tc0 per MB (pure reshapes of the edge grids) ----
+    bs_v = jnp.asarray(bs_v, jnp.int32)
+    bs_h = jnp.asarray(bs_h, jnp.int32)
+    # [r, c, e, b] = bs at vertical edge e, block-row b of MB (r, c)
+    bsv_mb = bs_v.reshape(R, 4, C, 4).transpose(0, 2, 3, 1).reshape(R * C, 4, 4)
+    bsh_mb = bs_h.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(R * C, 4, 4)
+    tcv_mb = tc0_sel(bsv_mb, tc0_row)
+    tch_mb = tc0_sel(bsh_mb, tc0_row)
+    tccv_mb = tc0_sel(bsv_mb[:, (0, 2), :], tc0_row_c)  # chroma uses edges 0,2
+    tcch_mb = tc0_sel(bsh_mb[:, (0, 2), :], tc0_row_c)
+
+    # ---- shear everything to wave-major (row-takes, no element gathers) ----
+    yb = jnp.asarray(y, jnp.int32).reshape(R, 16, C, 16).transpose(0, 2, 1, 3)
+    ub = jnp.asarray(u, jnp.int32).reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+    vb = jnp.asarray(v, jnp.int32).reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+    Yw = _to_wave(yb.reshape(R * C, 256), lay["perm_to"], n_slots)
+    Uw = _to_wave(ub.reshape(R * C, 64), lay["perm_to"], n_slots)
+    Vw = _to_wave(vb.reshape(R * C, 64), lay["perm_to"], n_slots)
+    Yw = Yw.reshape(n_waves + 2, LW, 16, 16)
+    Uw = Uw.reshape(n_waves + 2, LW, 8, 8)
+    Vw = Vw.reshape(n_waves + 2, LW, 8, 8)
+    meta = jnp.concatenate([
+        bsv_mb.reshape(R * C, 16), bsh_mb.reshape(R * C, 16),
+        tcv_mb.reshape(R * C, 16), tch_mb.reshape(R * C, 16),
+        bsv_mb[:, (0, 2), :].reshape(R * C, 8),
+        bsh_mb[:, (0, 2), :].reshape(R * C, 8),
+        tccv_mb.reshape(R * C, 8), tcch_mb.reshape(R * C, 8),
+    ], axis=1)
+    Mw = _to_wave(meta, lay["perm_to"], n_slots).reshape(n_waves + 2, LW, 96)
+
+    valid_w = jnp.asarray(lay["valid"])
+    s_left_a = jnp.asarray(lay["s_left"])
+    s_top_a = jnp.asarray(lay["s_top"])
+
+    def step(carry, k):
+        Yw, Uw, Vw = carry
+        K = k + 2
+        s_l = jax.lax.dynamic_index_in_dim(s_left_a, k, keepdims=False)
+        s_t = jax.lax.dynamic_index_in_dim(s_top_a, k, keepdims=False)
+        zero = jnp.int32(0)
+
+        own = jax.lax.dynamic_slice(Yw, (K, 1, zero, zero), (1, maxw, 16, 16))[0]
+        left = jax.lax.dynamic_slice(
+            Yw, (K - 1, 1 + s_l, zero, zero), (1, maxw, 16, 16))[0]
+        top = jax.lax.dynamic_slice(
+            Yw, (K - 2, 1 + s_t, zero, zero), (1, maxw, 16, 16))[0]
+        own_u = jax.lax.dynamic_slice(Uw, (K, 1, zero, zero), (1, maxw, 8, 8))[0]
+        left_u = jax.lax.dynamic_slice(
+            Uw, (K - 1, 1 + s_l, zero, zero), (1, maxw, 8, 8))[0]
+        top_u = jax.lax.dynamic_slice(
+            Uw, (K - 2, 1 + s_t, zero, zero), (1, maxw, 8, 8))[0]
+        own_v = jax.lax.dynamic_slice(Vw, (K, 1, zero, zero), (1, maxw, 8, 8))[0]
+        left_v = jax.lax.dynamic_slice(
+            Vw, (K - 1, 1 + s_l, zero, zero), (1, maxw, 8, 8))[0]
+        top_v = jax.lax.dynamic_slice(
+            Vw, (K - 2, 1 + s_t, zero, zero), (1, maxw, 8, 8))[0]
+        m = jax.lax.dynamic_slice(Mw, (K, 1, zero), (1, maxw, 96))[0]
+        vmask = jax.lax.dynamic_slice(valid_w, (K, 1), (1, maxw))[0]
+
+        bsv_mb_w = m[:, 0:16].reshape(maxw, 4, 4)
+        bsh_mb_w = m[:, 16:32].reshape(maxw, 4, 4)
+        tcv_mb_w = m[:, 32:48].reshape(maxw, 4, 4)
+        tch_mb_w = m[:, 48:64].reshape(maxw, 4, 4)
+        bscv_mb = m[:, 64:72].reshape(maxw, 2, 4)
+        bsch_mb = m[:, 72:80].reshape(maxw, 2, 4)
+        tccv_mb = m[:, 80:88].reshape(maxw, 2, 4)
+        tcch_mb = m[:, 88:96].reshape(maxw, 2, 4)
+
+        # Expand to the per-edge lane shapes the filters expect.
+        bsv16 = jnp.repeat(bsv_mb_w, 4, axis=2).transpose(1, 0, 2)[..., None]
+        bsh16 = jnp.repeat(bsh_mb_w, 4, axis=2).transpose(1, 0, 2)[:, :, None, :]
+        tcv16 = jnp.repeat(tcv_mb_w, 4, axis=2).transpose(1, 0, 2)[..., None]
+        tch16 = jnp.repeat(tch_mb_w, 4, axis=2).transpose(1, 0, 2)[:, :, None, :]
+        bscv = jnp.repeat(bscv_mb, 2, axis=2).transpose(1, 0, 2)[..., None]
+        bsch = jnp.repeat(bsch_mb, 2, axis=2).transpose(1, 0, 2)[:, :, None, :]
+        tccv = jnp.repeat(tccv_mb, 2, axis=2).transpose(1, 0, 2)[..., None]
+        tcch = jnp.repeat(tcch_mb, 2, axis=2).transpose(1, 0, 2)[:, :, None, :]
+
+        # 20x20 patch: [zeros, top-4-rows; left-4-cols, own] (corner unused).
+        patch = jnp.concatenate([
+            jnp.concatenate(
+                [jnp.zeros((maxw, 4, 4), jnp.int32), top[:, 12:16, :]], axis=2),
+            jnp.concatenate([left[:, :, 12:16], own], axis=2),
+        ], axis=1)
+        upatch = jnp.concatenate([
+            jnp.concatenate(
+                [jnp.zeros((maxw, 4, 4), jnp.int32), top_u[:, 4:8, :]], axis=2),
+            jnp.concatenate([left_u[:, :, 4:8], own_u], axis=2),
+        ], axis=1)
+        vpatch = jnp.concatenate([
+            jnp.concatenate(
+                [jnp.zeros((maxw, 4, 4), jnp.int32), top_v[:, 4:8, :]], axis=2),
+            jnp.concatenate([left_v[:, :, 4:8], own_v], axis=2),
+        ], axis=1)
+
+        patch_f, up_f, vp_f = _wave_filters_xla(
+            patch, upatch, vpatch, bsv16, tcv16, bsh16, tch16,
+            bscv, tccv, bsch, tcch, alpha, beta, alpha_c, beta_c)
+
+        m3 = vmask[:, None, None]
+
+        def put(arr, val, pos):
+            return jax.lax.dynamic_update_slice(arr, val[None], pos)
+
+        Yw = put(Yw, jnp.where(m3, patch_f[:, 0:4, 4:20], top[:, 12:16, :]),
+                 (K - 2, 1 + s_t, jnp.int32(12), zero))
+        Yw = put(Yw, jnp.where(m3, patch_f[:, 4:20, 0:4], left[:, :, 12:16]),
+                 (K - 1, 1 + s_l, zero, jnp.int32(12)))
+        Yw = put(Yw, jnp.where(m3, patch_f[:, 4:20, 4:20], own), (K, 1, zero, zero))
+        Uw = put(Uw, jnp.where(m3, up_f[:, 0:4, 4:12], top_u[:, 4:8, :]),
+                 (K - 2, 1 + s_t, jnp.int32(4), zero))
+        Uw = put(Uw, jnp.where(m3, up_f[:, 4:12, 0:4], left_u[:, :, 4:8]),
+                 (K - 1, 1 + s_l, zero, jnp.int32(4)))
+        Uw = put(Uw, jnp.where(m3, up_f[:, 4:12, 4:12], own_u), (K, 1, zero, zero))
+        Vw = put(Vw, jnp.where(m3, vp_f[:, 0:4, 4:12], top_v[:, 4:8, :]),
+                 (K - 2, 1 + s_t, jnp.int32(4), zero))
+        Vw = put(Vw, jnp.where(m3, vp_f[:, 4:12, 0:4], left_v[:, :, 4:8]),
+                 (K - 1, 1 + s_l, zero, jnp.int32(4)))
+        Vw = put(Vw, jnp.where(m3, vp_f[:, 4:12, 4:12], own_v), (K, 1, zero, zero))
+        return (Yw, Uw, Vw), None
+
+    (Yw, Uw, Vw), _ = jax.lax.scan(
+        step, (Yw, Uw, Vw), jnp.arange(n_waves, dtype=jnp.int32))
+
+    # ---- unshear ----
+    pf = jnp.asarray(lay["perm_from"])
+    yo = jnp.take(Yw.reshape(n_slots, 256), pf, axis=0).reshape(R, C, 16, 16)
+    uo = jnp.take(Uw.reshape(n_slots, 64), pf, axis=0).reshape(R, C, 8, 8)
+    vo = jnp.take(Vw.reshape(n_slots, 64), pf, axis=0).reshape(R, C, 8, 8)
+    return (
+        yo.transpose(0, 2, 1, 3).reshape(R * 16, C * 16),
+        uo.transpose(0, 2, 1, 3).reshape(R * 8, C * 8),
+        vo.transpose(0, 2, 1, 3).reshape(R * 8, C * 8),
+    )
+
+
 def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     """Deblock one frame in-place-semantics: returns filtered (y, u, v).
 
     y: (16R, 16C) int32; u/v: (8R, 8C); qp/qp_c: scalars (traced ok);
     bs_v/bs_h: (4R, 4C) strengths (vertical edge left of / horizontal edge
     above each 4x4 luma block; frame borders 0).
+
+    Default implementation is the wave-major shear (contiguous slices only);
+    MEDIA_TPU_DEBLOCK_KERNEL selects the legacy gather/scatter formulation
+    ("xla") or the Pallas wave kernel ("pallas") for cross-checking.
     """
+    import os
+
+    if os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL", "wavemajor") == "wavemajor":
+        return _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R, C)
+    return _deblock_frame_gather(y, u, v, qp, qp_c, bs_v, bs_h, R, C)
+
+
+def _deblock_frame_gather(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
+    """Legacy formulation: per-wave patch gathers + element scatters."""
     rows_t, cols_t, mask_t = _skew_waves(R, C)
     rows_t, cols_t, mask_t = map(jnp.asarray, (rows_t, cols_t, mask_t))
     n_waves, max_w = rows_t.shape

@@ -27,7 +27,7 @@ def planes(R, C, seed=0, smooth=False):
     return y, u, v
 
 
-@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+@pytest.mark.parametrize("kernel", ["wavemajor", "xla", "pallas"])
 @pytest.mark.parametrize("qp", [22, 30])
 @pytest.mark.parametrize("smooth", [False, True])
 def test_intra_deblock_jax_matches_numpy(qp, smooth, kernel, monkeypatch):
@@ -43,7 +43,7 @@ def test_intra_deblock_jax_matches_numpy(qp, smooth, kernel, monkeypatch):
     np.testing.assert_array_equal(rv.astype(np.uint8), nv)
 
 
-@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+@pytest.mark.parametrize("kernel", ["wavemajor", "xla", "pallas"])
 @pytest.mark.parametrize("seed", range(2))
 def test_inter_deblock_jax_matches_numpy(seed, kernel, monkeypatch):
     monkeypatch.setenv("MEDIA_TPU_DEBLOCK_KERNEL", kernel)

@@ -362,8 +362,8 @@ def _mb_metadata(mv, luma_levels, cdc_levels, cac_levels, R, C):
     qmv = mv  # already quarter-pel
 
     blk_nnz = jnp.sum(luma_levels != 0, axis=3)  # (R, C, 16) per raster block
-    zs = jnp.asarray(ZSCAN_TO_RASTER)
-    nnz_z = blk_nnz[:, :, zs]  # z-scan order
+    nnz_z = jnp.stack(
+        [blk_nnz[:, :, int(z)] for z in ZSCAN_TO_RASTER], axis=2)  # z-scan
     g8_any = jnp.any(nnz_z.reshape(R, C, 4, 4) > 0, axis=3)  # (R, C, 4)
     cbp_luma = jnp.sum(g8_any.astype(jnp.int32) * (1 << jnp.arange(4)), axis=2)
     cac_any = jnp.any(cac_levels != 0, axis=(2, 3, 4))
@@ -448,6 +448,20 @@ def _nc_from_grid(grid, by, bx):
                      jnp.where(a_av, na, jnp.where(b_av, nb, 0)))
 
 
+def _nc_grid_full(grid):
+    """nC for EVERY block position of an nnz grid via shifts (no gathers)."""
+    h, w = grid.shape
+    na = jnp.concatenate([jnp.zeros((h, 1), grid.dtype), grid[:, :-1]], axis=1)
+    nb = jnp.concatenate([jnp.zeros((1, w), grid.dtype), grid[:-1, :]], axis=0)
+    xs = jnp.arange(w)[None, :]
+    ys = jnp.arange(h)[:, None]
+    a_av = xs > 0
+    b_av = ys > 0
+    both = (na + nb + 1) >> 1
+    return jnp.where(a_av & b_av, both,
+                     jnp.where(a_av, na, jnp.where(b_av, nb, 0)))
+
+
 def _ue_split(x):
     """ue(x) as two slots (zeros prefix, payload) so long symbols stay < 32b."""
     code, length = _ue_bits(x)
@@ -500,14 +514,17 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     meta = _mb_metadata(mv, luma_levels, cdc_levels, cac_levels, R, C)
 
     # --- luma blocks: encode in z-scan order with nC from the nnz grid.
-    zs = jnp.asarray(ZSCAN_TO_RASTER)
-    rr = jnp.repeat(jnp.arange(R), C)
-    cc = jnp.tile(jnp.arange(C), R)
-    # (n, 16) block coords in z-scan order
-    by = rr[:, None] * 4 + (zs // 4)[None, :]
-    bx = cc[:, None] * 4 + (zs % 4)[None, :]
-    nc_luma = _nc_from_grid(meta["luma_nnz_grid"], by.reshape(-1), bx.reshape(-1))
-    luma_z = luma_levels.reshape(n, 16, 16)[:, zs].reshape(n * 16, 16)
+    # nC over the whole grid via shifts, then static z-scan reorder (both
+    # gather-free: even constant-index takes serialize per row on TPU).
+    nc_full = _nc_grid_full(meta["luma_nnz_grid"])  # (4R, 4C)
+    nc_raster = (
+        nc_full.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(n, 16)
+    )
+    nc_luma = jnp.stack(
+        [nc_raster[:, int(z)] for z in ZSCAN_TO_RASTER], axis=1).reshape(-1)
+    lv = luma_levels.reshape(n, 16, 16)
+    luma_z = jnp.stack(
+        [lv[:, int(z)] for z in ZSCAN_TO_RASTER], axis=1).reshape(n * 16, 16)
     lw, lb = encode_blocks(luma_z, nc_luma, max_coeff=16, chroma_dc=False)
 
     g8 = jnp.arange(16) // 4
@@ -525,11 +542,13 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     db = jnp.where(cdc_inc, db, 0)
 
     # --- chroma AC blocks (u: 4 raster blocks, then v)
-    cby = rr[:, None] * 2 + (jnp.arange(4) // 2)[None, :]
-    cbx = cc[:, None] * 2 + (jnp.arange(4) % 2)[None, :]
-    nc_u = _nc_from_grid(meta["chroma_nnz_grid"][0], cby.reshape(-1), cbx.reshape(-1))
-    nc_v = _nc_from_grid(meta["chroma_nnz_grid"][1], cby.reshape(-1), cbx.reshape(-1))
-    nc_c = jnp.stack([nc_u.reshape(n, 4), nc_v.reshape(n, 4)], axis=1).reshape(-1)
+    def nc_c_of(grid):
+        full = _nc_grid_full(grid)  # (2R, 2C)
+        return full.reshape(R, 2, C, 2).transpose(0, 2, 1, 3).reshape(n, 4)
+
+    nc_u = nc_c_of(meta["chroma_nnz_grid"][0])
+    nc_v = nc_c_of(meta["chroma_nnz_grid"][1])
+    nc_c = jnp.stack([nc_u, nc_v], axis=1).reshape(-1)
     cac_flat = cac_levels.reshape(n * 8, 15)
     aw, ab = encode_blocks(cac_flat, nc_c, max_coeff=15, chroma_dc=False)
     cac_inc = jnp.repeat((meta["cbp_chroma"].reshape(-1) == 2)

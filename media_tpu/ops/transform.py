@@ -253,13 +253,16 @@ def dequant_dc_2x2(f_dc, qp):
 
 
 def zigzag(blocks):
-    """(..., 4, 4) -> (..., 16) in zig-zag scan order."""
+    """(..., 4, 4) -> (..., 16) in zig-zag scan order.
+
+    Static slice+stack (not a take): constant-index gathers still serialize
+    per row on TPU."""
     flat = jnp.asarray(blocks).reshape(*blocks.shape[:-2], 16)
-    return flat[..., jnp.asarray(ZIGZAG_FLAT)]
+    return jnp.stack([flat[..., int(i)] for i in ZIGZAG_FLAT], axis=-1)
 
 
 def inverse_zigzag(scans):
     """(..., 16) zig-zag order -> (..., 4, 4)."""
     scans = jnp.asarray(scans)
-    blocks = scans[..., jnp.asarray(INV_ZIGZAG_FLAT)]
+    blocks = jnp.stack([scans[..., int(i)] for i in INV_ZIGZAG_FLAT], axis=-1)
     return blocks.reshape(*scans.shape[:-1], 4, 4)

@@ -81,21 +81,22 @@ def mc_chroma_ext(ref_c_ext, mv, R, C, halo: int):
     """Chroma MC against a plane extended with `halo` rows above and below.
 
     mv is in quarter-pel luma units == 1/8-pel chroma units (spec 8.4.2.2.2).
+    Windows come from a structural context build + one-hot MXU extraction
+    (no element gathers). halo = search_range//2 + 2 bounds the integer
+    chroma displacement, so the context always covers the 9x9 bilinear patch.
     """
-    mv_c8 = mv
-    ix = mv_c8[:, 0] >> 3
-    iy = mv_c8[:, 1] >> 3
-    fx = (mv_c8[:, 0] & 7)[:, None, None]
-    fy = (mv_c8[:, 1] & 7)[:, None, None]
-    pad = jnp.pad(ref_c_ext, ((0, 1), (halo, halo + 1)), mode="edge")
-    h = ref_c_ext.shape[0]
-    w = ref_c_ext.shape[1]
-    n = R * C
-    r = jnp.arange(n, dtype=jnp.int32) // C
-    c = jnp.arange(n, dtype=jnp.int32) % C
-    ys = jnp.clip(r[:, None] * 8 + halo + iy[:, None] + jnp.arange(9)[None, :], 0, h)
-    xs = jnp.clip(c[:, None] * 8 + halo + ix[:, None] + jnp.arange(9)[None, :], 0, w + 2 * halo)
-    patch = pad[ys[:, :, None], xs[:, None, :]]
+    rs = 2 * (halo - 2)  # caller passes halo = search_range // 2 + 2
+    ix = mv[:, 0] >> 3
+    iy = mv[:, 1] >> 3
+    fx = (mv[:, 0] & 7)[:, None, None]
+    fy = (mv[:, 1] & 7)[:, None, None]
+    # integer displacement bounds: |qmv| <= 4*rs + 3  =>  ix in [lo_neg, hi]
+    lo = (4 * rs + 10) // 8  # = -min(ix)
+    hi = (4 * rs + 3) // 8
+    S = hi + 9 + lo
+    plane = jnp.pad(ref_c_ext, ((0, 0), (halo, halo)), mode="edge")
+    ctx = _mb_context(plane, R, C, halo, 8, lo, S)
+    patch = _extract_win(ctx, iy + lo, ix + lo, 9)
     a = patch[:, :8, :8]
     b = patch[:, :8, 1:9]
     cc = patch[:, 1:9, :8]
@@ -213,27 +214,71 @@ def unpack_symbols_device(symbols):
     )
 
 
+def _mb_context(plane, R, C, pad: int, mb: int, lo: int, S: int):
+    """(N, S, S) context windows spanning [-lo, S-lo) around each mb-grid
+    origin, built with static slicing only (no gathers). `plane` must be
+    padded by `pad` >= lo on every side; bands may read a few px past the
+    bottom/right padding, so it is extended (values never selected)."""
+    nb = -(-S // mb)  # bands of mb rows; nb*mb >= S
+    o = pad - lo  # first context row of block (0, 0)
+    extra = max(0, o + mb * nb - 2 * pad)
+    p = jnp.pad(plane, ((0, extra), (0, extra)))
+    b = [p[o + mb * k : o + mb * k + mb * R] for k in range(nb)]
+    rows_nb = jnp.concatenate(
+        [x.reshape(R, mb, -1) for x in b], axis=1)  # (R, mb*nb, W')
+    rows_s = rows_nb[:, :S]
+    t = [rows_s[:, :, o + mb * k : o + mb * k + mb * C].reshape(R, S, C, mb)
+         for k in range(nb)]
+    cols_nb = jnp.concatenate(t, axis=3)  # (R, S, C, mb*nb)
+    return cols_nb[..., :S].transpose(0, 2, 1, 3).reshape(R * C, S, S)
+
+
+def _extract_win(ctx, dy0, dx0, W: int):
+    """Extract per-block (W, W) windows at dynamic offsets (dy0, dx0) in
+    [0, S-W] from (N, S, S) contexts via one-hot bf16 matmuls (MXU; exact
+    for 8-bit samples) — element gathers serialize on TPU."""
+    S = ctx.shape[1]
+    i18 = jnp.arange(W, dtype=jnp.int32)
+    j36 = jnp.arange(S, dtype=jnp.int32)
+    sel_r = (
+        (dy0[:, None, None] + i18[None, :, None]) == j36[None, None, :]
+    ).astype(jnp.bfloat16)  # (N, W, S)
+    sel_c = (
+        (dx0[:, None, None] + i18[None, None, :]) == j36[None, :, None]
+    ).astype(jnp.bfloat16)  # (N, S, W)
+    rowsel = jax.lax.dot_general(
+        sel_r, ctx.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (N, W, S)
+    win = jax.lax.dot_general(
+        rowsel.astype(jnp.bfloat16), sel_c,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (N, W, W)
+    return win.astype(jnp.int32)
+
+
 def refine_subpel(cur, plane_g, plane_b, plane_h, plane_j, mv_full, R, C,
                   rs: int, lambda_q: int = 1):
     """Quarter-pel refinement: evaluate all 49 (dx, dy) in [-3,3]^2 around the
-    full-pel best. Window gathers happen once; every candidate is then pure
-    static slicing (ops/interp.subpel_value).
+    full-pel best. Windows are extracted once per plane (structural context
+    build + one-hot MXU matmuls); every candidate is then pure static slicing
+    (ops/interp.subpel_value).
 
     Planes are padded by rs + INTERP_HALO on all sides (luma). Returns
     (qmv (N,2) quarter-pel, pred (N,16,16), cost (N,)).
     """
     n = R * C
     pad_off = rs + INTERP_HALO
-    r = jnp.arange(n, dtype=jnp.int32) // C
-    c = jnp.arange(n, dtype=jnp.int32) % C
-    y0 = r * 16 + mv_full[:, 1] + pad_off - 1  # window origin (base - 1)
-    x0 = c * 16 + mv_full[:, 0] + pad_off - 1
-    span = jnp.arange(18, dtype=jnp.int32)
-    rows = y0[:, None] + span[None, :]
-    cols = x0[:, None] + span[None, :]
+    # Window row 0 is (mv - 1) relative to the MB origin; the context starts
+    # at -(rs + 2), so the in-context offset is mv + rs + 1.
+    dy0 = mv_full[:, 1] + rs + 1
+    dx0 = mv_full[:, 0] + rs + 1
 
     def win(plane):
-        return plane[rows[:, :, None], cols[:, None, :]]
+        ctx = _mb_context(plane, R, C, pad_off, 16, rs + 2, 2 * rs + 20)
+        return _extract_win(ctx, dy0, dx0, 18)
 
     wg, wb, wh, wj = win(plane_g), win(plane_b), win(plane_h), win(plane_j)
 

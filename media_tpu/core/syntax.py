@@ -55,6 +55,12 @@ class SPS:
     crop_right: int = 0
     crop_top: int = 0
     crop_bottom: int = 0
+    # VUI timing (E.2.1): (num_units_in_tick, time_scale) or None. Frame rate
+    # = time_scale / (2 * num_units_in_tick). The reference signals fps only
+    # via vendor params (VideoEncoderOpenH264.cpp:237 fMaxFrameRate); here it
+    # is carried in-band so any conformant decoder recovers it.
+    vui_timing: tuple | None = None
+    fixed_frame_rate: bool = True
 
     @property
     def width(self) -> int:
@@ -111,7 +117,22 @@ class SPS:
             w.ue(self.crop_right)
             w.ue(self.crop_top)
             w.ue(self.crop_bottom)
-        w.flag(False)  # vui_parameters_present_flag
+        w.flag(self.vui_timing is not None)  # vui_parameters_present_flag
+        if self.vui_timing is not None:
+            # vui_parameters (E.1.1): timing info only.
+            w.flag(False)  # aspect_ratio_info_present_flag
+            w.flag(False)  # overscan_info_present_flag
+            w.flag(False)  # video_signal_type_present_flag
+            w.flag(False)  # chroma_loc_info_present_flag
+            w.flag(True)  # timing_info_present_flag
+            num_units, time_scale = self.vui_timing
+            w.u(32, num_units)
+            w.u(32, time_scale)
+            w.flag(self.fixed_frame_rate)
+            w.flag(False)  # nal_hrd_parameters_present_flag
+            w.flag(False)  # vcl_hrd_parameters_present_flag
+            w.flag(False)  # pic_struct_present_flag
+            w.flag(False)  # bitstream_restriction_flag
 
     @classmethod
     def parse(cls, r: BitReader) -> "SPS":
@@ -148,7 +169,27 @@ class SPS:
             s.crop_right = r.ue()
             s.crop_top = r.ue()
             s.crop_bottom = r.ue()
-        # vui ignored
+        if r.flag():  # vui_parameters_present_flag (E.1.1; timing subset)
+            if r.flag():  # aspect_ratio_info_present_flag
+                if r.u(8) == 255:  # Extended_SAR
+                    r.u(16)
+                    r.u(16)
+            if r.flag():  # overscan_info_present_flag
+                r.flag()
+            if r.flag():  # video_signal_type_present_flag
+                r.u(3)
+                r.flag()
+                if r.flag():  # colour_description_present_flag
+                    r.u(8), r.u(8), r.u(8)
+            if r.flag():  # chroma_loc_info_present_flag
+                r.ue(), r.ue()
+            if r.flag():  # timing_info_present_flag
+                num_units = r.u(32)
+                time_scale = r.u(32)
+                s.vui_timing = (num_units, time_scale)
+                s.fixed_frame_rate = r.flag()
+            # HRD / pic_struct / bitstream restriction not parsed further;
+            # byte-aligned trailing bits absorb the remainder.
         return s
 
 
@@ -205,6 +246,84 @@ class PPS:
         if r.flag():
             raise NotImplementedError("redundant_pic_cnt not supported")
         return p
+
+
+# --------------------------------------------------------------------- SEI
+
+SEI_RECOVERY_POINT = 6
+SEI_USER_DATA_UNREGISTERED = 5
+
+# 16-byte uuid_iso_iec_11578 identifying this framework's user-data SEI.
+MEDIA_TPU_SEI_UUID = bytes.fromhex("9d3c1a6e54f14b0bb2a7c8a1d0e2f347")
+
+
+def write_sei_rbsp(messages: list) -> bytes:
+    """sei_rbsp (7.3.2.3): list of (payload_type, payload bytes)."""
+    out = bytearray()
+    for ptype, payload in messages:
+        t = ptype
+        while t >= 255:
+            out.append(255)
+            t -= 255
+        out.append(t)
+        n = len(payload)
+        while n >= 255:
+            out.append(255)
+            n -= 255
+        out.append(n)
+        out += payload
+    out.append(0x80)  # rbsp_trailing_bits (SEI payloads are byte counts)
+    return bytes(out)
+
+
+def parse_sei_rbsp(rbsp: bytes) -> list:
+    """Returns [(payload_type, payload bytes), ...]."""
+    msgs = []
+    i = 0
+    while i < len(rbsp) and rbsp[i] != 0x80:
+        ptype = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            ptype += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        ptype += rbsp[i]
+        i += 1
+        size = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            size += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        size += rbsp[i]
+        i += 1
+        msgs.append((ptype, rbsp[i : i + size]))
+        i += size
+    return msgs
+
+
+def sei_recovery_point(recovery_frame_cnt: int = 0) -> tuple:
+    """recovery_point SEI (D.1.8): marks a gradual/exact refresh point."""
+    w = BitWriter()
+    w.ue(recovery_frame_cnt)
+    w.flag(True)  # exact_match_flag
+    w.flag(False)  # broken_link_flag
+    w.u(2, 0)  # changing_slice_group_idc
+    w.rbsp_trailing_bits()
+    return (SEI_RECOVERY_POINT, w.get_bytes())
+
+
+def sei_user_data(text: bytes, uuid: bytes = MEDIA_TPU_SEI_UUID) -> tuple:
+    """user_data_unregistered SEI (D.1.7)."""
+    return (SEI_USER_DATA_UNREGISTERED, uuid + text)
+
+
+def write_aud_rbsp(primary_pic_type: int) -> bytes:
+    """access_unit_delimiter_rbsp (7.3.2.4). 0 = I only, 1 = I+P."""
+    w = BitWriter()
+    w.u(3, primary_pic_type)
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
 
 
 @dataclass

@@ -46,6 +46,14 @@ class EncoderConfig:
     # Slices per frame (SM_FIXEDSLCNUM analog): contiguous MB-row bands with
     # independent entropy state; the multi-chip tile unit.
     num_slices: int = 1
+    # Carry the frame rate in-band as SPS VUI timing info (E.2.1), so players
+    # recover fps without out-of-band config (the reference only passes fps to
+    # the vendor encoder, VideoEncoderOpenH264.cpp:237).
+    signal_timing: bool = True
+    # Emit an access_unit_delimiter NAL before each AU (7.3.2.4).
+    insert_aud: bool = False
+    # Emit recovery_point + user_data_unregistered SEI on each IDR (D.1.7-8).
+    insert_sei: bool = False
 
 
 class EncoderSession:
@@ -54,6 +62,8 @@ class EncoderSession:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
         self.sps = SPS.for_size(cfg.width, cfg.height, level_idc=cfg.level_idc)
+        if cfg.signal_timing and cfg.framerate > 0:
+            self.sps.vui_timing = (1, 2 * cfg.framerate)
         self.pps = PPS(pic_init_qp=cfg.qp, deblocking_filter_control_present=True)
         pad_w = self.sps.pic_width_in_mbs * 16
         pad_h = self.sps.pic_height_in_mbs * 16
@@ -217,7 +227,30 @@ class EncoderSession:
 
         bw = self._pslice_header_writer(qp)
         merge_slice_data(bw, stream_words, total_bits)
-        return wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+        return self._aud(primary_pic_type=1) + wrap_nal(
+            H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2
+        )
+
+    def _aud(self, primary_pic_type: int) -> bytes:
+        if not self.cfg.insert_aud:
+            return b""
+        from ..core.syntax import write_aud_rbsp
+
+        return wrap_nal(H264NalType.AUD, write_aud_rbsp(primary_pic_type),
+                        nal_ref_idc=0)
+
+    def _idr_sei(self) -> bytes:
+        if not self.cfg.insert_sei:
+            return b""
+        from ..core.syntax import (
+            sei_recovery_point, sei_user_data, write_sei_rbsp,
+        )
+
+        rbsp = write_sei_rbsp([
+            sei_recovery_point(0),
+            sei_user_data(b"media_tpu H.264 TPU-native encoder"),
+        ])
+        return wrap_nal(H264NalType.SEI, rbsp, nal_ref_idc=0)
 
     def _pslice_header_writer(self, qp: int | None = None,
                               first_mb: int = 0) -> BitWriter:
@@ -258,7 +291,7 @@ class EncoderSession:
                 )
                 bw.rbsp_trailing_bits()
             au += wrap_nal(H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
-        return au
+        return self._aud(primary_pic_type=1) + au
 
     # ------------------------------------------------------------------- IDR
 
@@ -316,8 +349,10 @@ class EncoderSession:
         self.pps.write(pps_w)
         pps_w.rbsp_trailing_bits()
         au = (
-            wrap_nal(H264NalType.SPS, sps_w.get_bytes())
+            self._aud(primary_pic_type=0)
+            + wrap_nal(H264NalType.SPS, sps_w.get_bytes())
             + wrap_nal(H264NalType.PPS, pps_w.get_bytes())
+            + self._idr_sei()
             + slice_nals
         )
         if cfg.rc_mode == "cbr":

@@ -11,10 +11,12 @@ bitstream). This module packs the slice_data bits on the TPU itself:
       block and every MB header becomes a (words[...], nbits) pair built by a
       vectorized append chain (suffix-length adaptation runs as a 16-step
       scan across all blocks at once);
-  stage 3 (prefix-sum assembly): chunk lengths -> exclusive cumsum of bit
-      offsets -> each chunk's words are barrel-shifted and scatter-added into
-      the output word buffer (adjacent chunks share at most one boundary word
-      with disjoint bit ranges, so add == or).
+  stage 3 (bitcat tree): chunks are concatenated by a pairwise reduction —
+      at every level the right sibling's bit buffer is barrel-shifted by the
+      left sibling's bit count (bit shift + log2(W) conditional word rolls)
+      and OR'd in. No gathers, no scatters, no matmuls: TPU scatters
+      serialize and batched tiny one-hot matmuls underutilize the MXU, while
+      this reduction is pure fused VPU work.
 
 The host prepends the slice header bits, applies emulation prevention and the
 RBSP stop bit. Output is byte-exact with the Python/C++ packers (tests).
@@ -125,56 +127,116 @@ def _se_bits(x):
 # ---- per-block CAVLC bitstring ---------------------------------------------
 
 
+def _bitshift_right(words, s):
+    """Shift (..., W) MSB-first bit buffers right by s in [0, 31] bits.
+
+    s broadcasts over the leading dims. Returns (..., W + 1) uint32 (one
+    spill word)."""
+    s = jnp.asarray(s, jnp.uint32)[..., None]
+    inv = (32 - s) & 31  # safe left-shift amount when s > 0
+    prev = jnp.concatenate(
+        [jnp.zeros_like(words[..., :1]), words[..., :-1]], axis=-1)
+    hi = jnp.where(s > 0, (words >> s) | (prev << inv), words)
+    last = jnp.where(s[..., 0] > 0, words[..., -1] << inv[..., 0],
+                     jnp.uint32(0))
+    return jnp.concatenate([hi, last[..., None]], axis=-1)
+
+
+def _wordshift_right(words, o, max_shift: int):
+    """Shift (..., W) word buffers right by o words (dynamic, 0 <= o <=
+    max_shift) via binary decomposition — log2 conditional static rolls
+    instead of a serializing gather."""
+    out = words
+    W = words.shape[-1]
+    for k in range(max(1, max_shift.bit_length() if max_shift else 1)):
+        sh = 1 << k
+        if sh > max_shift:
+            break
+        if sh >= W:
+            rolled = jnp.zeros_like(out)
+        else:
+            rolled = jnp.concatenate(
+                [jnp.zeros_like(out[..., :sh]), out[..., :-sh]], axis=-1)
+        out = jnp.where((((o >> k) & 1) == 1)[..., None], rolled, out)
+    return out
+
+
+def _bitcat_caps(n: int, leaf_w: int, out_cap: int, ratio: float):
+    """Static per-level capacity schedule for bitcat_reduce."""
+    caps = []
+    w, leaves = leaf_w, 1
+    while n > 1:
+        leaves *= 2
+        want = int(np.ceil(ratio * leaf_w * leaves))
+        w_next = max(w + 1, min(2 * w + 1, max(want, 8), max(out_cap, w + 1)))
+        caps.append(w_next)
+        w = w_next
+        n = (n + 1) // 2
+    return caps
+
+
+def bitcat_reduce(words, bits, out_cap: int, ratio: float = 1.0):
+    """Concatenate (..., N, W) MSB-first bit chunks along axis -2.
+
+    words must be zero beyond each chunk's `bits` (..., N) valid bits.
+    Pairwise tree: the right sibling is barrel-shifted by the left sibling's
+    bit count and OR'd in — contiguous bit ranges stay disjoint, so OR is
+    exact concatenation. Per-level capacities grow as min(full rate,
+    ratio * worst case, out_cap); content whose contiguous spans exceed a
+    level cap sets ok=False (the caller falls back to host packing).
+
+    Returns (words (..., W_top >= out_cap is NOT guaranteed; W_top is the
+    top-level cap), bits (...,), ok (...,) bool).
+    """
+    words = jnp.asarray(words, jnp.uint32)
+    bits = jnp.asarray(bits, jnp.int32)
+    caps = _bitcat_caps(words.shape[-2], words.shape[-1], out_cap, ratio)
+    ok = jnp.ones(words.shape[:-2], bool)
+    for cap in caps:
+        n = words.shape[-2]
+        if n % 2:
+            words = jnp.concatenate(
+                [words, jnp.zeros_like(words[..., :1, :])], axis=-2)
+            bits = jnp.concatenate(
+                [bits, jnp.zeros_like(bits[..., :1])], axis=-1)
+        a_w, b_w = words[..., 0::2, :], words[..., 1::2, :]
+        a_b, b_b = bits[..., 0::2], bits[..., 1::2]
+        w_prev = a_w.shape[-1]
+        bs = _bitshift_right(b_w, (a_b & 31).astype(jnp.uint32))
+        if bs.shape[-1] < cap:
+            bs = jnp.pad(bs, [(0, 0)] * (bs.ndim - 1) + [(0, cap - bs.shape[-1])])
+        else:
+            bs = bs[..., :cap]
+        bs = _wordshift_right(bs, a_b >> 5, w_prev)
+        if w_prev < cap:
+            a_w = jnp.pad(a_w, [(0, 0)] * (a_w.ndim - 1) + [(0, cap - w_prev)])
+        words = a_w | bs
+        bits = a_b + b_b
+        ok = ok & jnp.all(bits <= 32 * cap, axis=-1)
+    return words[..., 0, :], bits[..., 0], ok
+
+
 def _pack_codes(vals, lens, n_words: int):
     """Concatenate per-row codeword sequences into bit buffers.
 
     vals/lens: (N, S) — S codewords per row, each < 32 bits (lens may be 0).
-    Returns (words (N, n_words) uint32, nbits (N,)). One cumsum + one
-    scatter-add; no sequential append chain, which matters for XLA latency.
-    """
-    n, S = vals.shape
+    Returns (words (N, n_words) uint32, nbits (N,)). Bitcat tree over the
+    slot axis; slot sequences are bounded by n_words*32 bits by construction
+    (CAVLC worst case ~460 bits per 16-coeff block), so ratio=1.0 capacities
+    never overflow for any input."""
     vals = jnp.asarray(vals, jnp.uint32)
     lens = jnp.asarray(lens, jnp.int32)
     mask = (jnp.uint32(1) << jnp.clip(lens, 0, 31).astype(jnp.uint32)) - jnp.uint32(1)
     vals = vals & mask
-
-    offs = jnp.cumsum(lens, axis=1) - lens  # exclusive prefix sum
-    nbits = jnp.sum(lens, axis=1)
-
-    w = offs >> 5
-    off = offs & 31
-    rem = 32 - off
-    spill = jnp.maximum(lens - rem, 0)
-    sh_r = jnp.clip(spill, 0, 31).astype(jnp.uint32)
-    sh_l = jnp.clip(rem - lens, 0, 31).astype(jnp.uint32)
-    hi = jnp.where(lens > rem, vals >> sh_r, vals << sh_l)
-    lo_mask = (jnp.uint32(1) << sh_r) - jnp.uint32(1)
-    lo = (vals & lo_mask) << ((32 - jnp.clip(spill, 0, 31)) & 31).astype(jnp.uint32)
-    hi = jnp.where(lens > 0, hi, 0)
-    lo = jnp.where(spill > 0, lo, 0)
-
-    # Scatter-free reduction (TPU scatters serialize): route each slot's word
-    # to its bucket with a one-hot bf16 matmul on the MXU. Bit ranges within a
-    # word are disjoint across slots (offsets are a cumsum), so per-byte sums
-    # never carry (each byte has one contributor) and bf16/f32 stays exact.
-    def bucket_sum(values, word_idx):
-        onehot = (
-            word_idx[:, :, None] == jnp.arange(n_words, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)  # (N, S, W)
-        vb = jnp.stack(
-            [(values >> (8 * b)) & jnp.uint32(0xFF) for b in range(4)], axis=-1
-        ).astype(jnp.bfloat16)  # (N, S, 4)
-        out = jax.lax.dot_general(
-            onehot, vb,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (N, W, 4)
-        ob = out.astype(jnp.uint32)
-        return (ob[..., 0] | (ob[..., 1] << 8) | (ob[..., 2] << 16)
-                | (ob[..., 3] << 24))
-
-    words = bucket_sum(hi, w) + bucket_sum(lo, w + 1)
-    return words, nbits
+    # MSB-first leaf words: the codeword's first bit at bit 0.
+    leaf = jnp.where(lens > 0,
+                     vals << ((32 - jnp.clip(lens, 0, 31)) & 31).astype(jnp.uint32),
+                     jnp.uint32(0))
+    words, nbits, _ = bitcat_reduce(leaf[..., None], lens, n_words, ratio=1.0)
+    if words.shape[-1] < n_words:
+        words = jnp.pad(
+            words, [(0, 0)] * (words.ndim - 1) + [(0, n_words - words.shape[-1])])
+    return words[..., :n_words], nbits
 
 
 def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
@@ -584,32 +646,20 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     ], axis=1).reshape(n * 27)
     chunks_w = jnp.concatenate([chunks_w, pad_words(tw, W)], axis=0)
     chunks_b = jnp.concatenate([chunks_b, tb], axis=0)
+    # Excluded chunks (bits forced to 0 by cbp/skip masks) still hold their
+    # codeword bits; the OR-based tree needs them fully zero.
+    chunks_w = jnp.where((chunks_b > 0)[:, None], chunks_w, 0)
 
-    offsets = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32), jnp.cumsum(chunks_b)[:-1]
-    ])
-    total_bits = jnp.sum(chunks_b)
-
-    # Shift each chunk to its bit offset and scatter-add into the stream.
-    off_w = offsets >> 5
-    sh = (offsets & 31).astype(jnp.uint32)
-    w_lo = chunks_w >> sh[:, None]
-    prev = jnp.concatenate(
-        [jnp.zeros((chunks_w.shape[0], 1), jnp.uint32), chunks_w[:, :-1]], axis=1
-    )
-    carry = jnp.where((sh > 0)[:, None], prev << ((32 - sh) & 31)[:, None], 0)
-    shifted = w_lo | carry  # (Nchunk, W) at word off_w + j
-    # The final spill word (bits pushed past the last buffer word):
-    spill = jnp.where(sh > 0, chunks_w[:, -1] << ((32 - sh) & 31), 0)
-    shifted = jnp.concatenate([shifted, spill[:, None]], axis=1)  # (Nchunk, W+1)
-    shifted = jnp.where((chunks_b > 0)[:, None], shifted, 0)
-
-    idx = off_w[:, None] + jnp.arange(W + 1)[None, :]
-    stream = jnp.zeros((out_words,), jnp.uint32)
-    stream = stream.at[idx.reshape(-1)].add(
-        shifted.reshape(-1), mode="drop"
-    )
-    return stream, total_bits
+    # Bitcat tree: pairwise concatenation of all chunks into the stream.
+    # ratio=0.9 gives every level 90% of its theoretical worst-case bit rate;
+    # content that exceeds a level cap (or the stream cap) flips ok and the
+    # sentinel bit count routes the caller to the host packing fallback.
+    stream, total_bits, ok = bitcat_reduce(
+        chunks_w, chunks_b, out_words, ratio=0.9)
+    if stream.shape[-1] < out_words:
+        stream = jnp.pad(stream, (0, out_words - stream.shape[-1]))
+    total_bits = jnp.where(ok, total_bits, jnp.int32(out_words) * 32 + 1)
+    return stream[:out_words], total_bits
 
 
 # ---- host-side merge --------------------------------------------------------

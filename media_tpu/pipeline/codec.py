@@ -116,11 +116,18 @@ class EncoderSession:
         self.frame_idx += 1
         return data
 
+    # P-run pipeline chunk size: small enough that upload(i+1), compute(i)
+    # and download(i-1) overlap (transfers are DMA-concurrent with compute),
+    # large enough to amortize per-dispatch latency.
+    PIPELINE_CHUNK = 4
+
     def encode_frames(self, i420_frames) -> list[bytes]:
-        """Encode a sequence of frames, batching runs of P frames into single
-        device dispatches (GOP batching). Same bitstream as repeated
-        encode_frame calls; far higher throughput when host<->device latency
-        dominates. Returns one Annex-B AU per input frame."""
+        """Encode a sequence of frames, batching runs of P frames into
+        chunked device dispatches arranged as a software pipeline: while
+        chunk i computes on device, chunk i+1's planes upload and chunk i-1's
+        packed bitstreams download (host<->device DMA overlaps device
+        compute). Same bitstream as repeated encode_frame calls. Returns one
+        Annex-B AU per input frame."""
         cfg = self.cfg
         planes = []
         for buf in i420_frames:
@@ -131,6 +138,12 @@ class EncoderSession:
                 yuv.pad_to_mb_grid(v, 8),
             ))
         out: list[bytes] = []
+        pending: list = []  # deferred AU builders, in output order
+
+        def drain(n: int) -> None:
+            while len(pending) > n:
+                out.extend(pending.pop(0)())
+
         i = 0
         while i < len(planes):
             idr_due = (
@@ -139,6 +152,7 @@ class EncoderSession:
                 or self.recon is None
             )
             if idr_due:
+                drain(0)  # preserve AU order around the IDR
                 self._force_idr = False
                 out.append(self._encode_idr(*planes[i]))
                 self.frame_idx += 1
@@ -146,11 +160,12 @@ class EncoderSession:
                 continue
             until_idr = cfg.gop_size - (self.frame_idx % cfg.gop_size)
             k = min(len(planes) - i, until_idr)
-            ys = np.stack([p[0] for p in planes[i : i + k]])
-            us = np.stack([p[1] for p in planes[i : i + k]])
-            vs = np.stack([p[2] for p in planes[i : i + k]])
             enc = self._frame_encoder
             if cfg.rc_mode == "cbr":
+                drain(0)
+                ys = np.stack([p[0] for p in planes[i : i + k]])
+                us = np.stack([p[1] for p in planes[i : i + k]])
+                vs = np.stack([p[2] for p in planes[i : i + k]])
                 out.extend(self._encode_p_run_cbr(ys, us, vs, k))
                 i += k
                 continue
@@ -158,22 +173,11 @@ class EncoderSession:
                 cfg.entropy_mode == "device"
                 or (cfg.entropy_mode == "auto" and jax.default_backend() != "cpu")
             ) and len(self.slice_rows) == 1  # device packer is per-frame today
-            if use_device:
-                streams, bits, recon = enc.encode_pframes_packed(
-                    ys, us, vs, *self.recon, cfg.qp, deblock=cfg.deblock
-                )
-            else:
-                bits = np.array([1 << 62])  # force the symbols path below
-            if use_device and int(bits.max()) <= enc.cap_words * 32:
-                # On-device entropy path: merge each packed slice_data stream
-                # under a host-written slice header.
-                self.recon = recon
-                for j in range(k):
-                    out.append(self._pslice_au_packed(streams[j], int(bits[j])))
-                    self.frame_idx += 1
-            else:
-                # Rare overflow (bitrate above the 2bpp device budget): fall
-                # back to downloading symbols and packing on the host.
+            if not use_device:
+                drain(0)
+                ys = np.stack([p[0] for p in planes[i : i + k]])
+                us = np.stack([p[1] for p in planes[i : i + k]])
+                vs = np.stack([p[2] for p in planes[i : i + k]])
                 symbols, recon = enc.encode_pframes_batch(
                     ys, us, vs, *self.recon, cfg.qp, deblock=cfg.deblock
                 )
@@ -184,7 +188,51 @@ class EncoderSession:
                     fields = unpack_symbols(symbols[j])
                     out.append(self._pslice_au(fields))
                     self.frame_idx += 1
+                i += k
+                continue
+
+            k = min(k, self.PIPELINE_CHUNK)
+            ys = np.stack([p[0] for p in planes[i : i + k]])
+            us = np.stack([p[1] for p in planes[i : i + k]])
+            vs = np.stack([p[2] for p in planes[i : i + k]])
+            ys_d, us_d, vs_d = map(jax.device_put, (ys, us, vs))
+            prev_recon = self.recon
+            streams_d, bits_d, recon = enc.encode_pframes_packed_dev(
+                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock
+            )
+            self.recon = tuple(recon)
+            frame_base = self.frame_idx
+            self.frame_idx += k
+
+            def finish(streams_d=streams_d, bits_d=bits_d, k=k,
+                       prev_recon=prev_recon, ys=ys, us=us, vs=vs,
+                       frame_base=frame_base) -> list[bytes]:
+                bits = np.asarray(bits_d)
+                if int(bits.max()) <= enc.cap_words * 32:
+                    streams = np.asarray(streams_d)
+                    return [
+                        self._pslice_au_packed(
+                            streams[j], int(bits[j]), frame_idx=frame_base + j)
+                        for j in range(k)
+                    ]
+                # Rare overflow (bits above the device stream budget): re-run
+                # for symbols and pack on the host. Recon is unaffected — the
+                # compute path is identical, only the entropy stage differs.
+                symbols, _recon = enc.encode_pframes_batch(
+                    ys, us, vs, *prev_recon, cfg.qp, deblock=cfg.deblock
+                )
+                from .pframe_core import unpack_symbols
+
+                return [
+                    self._pslice_au(unpack_symbols(symbols[j]),
+                                    frame_idx=frame_base + j)
+                    for j in range(k)
+                ]
+
+            pending.append(finish)
+            drain(1)  # depth-2 pipeline: keep one chunk in flight
             i += k
+        drain(0)
         return out
 
     def _encode_p_run_cbr(self, ys, us, vs, k: int) -> list[bytes]:
@@ -222,10 +270,11 @@ class EncoderSession:
         return out
 
     def _pslice_au_packed(self, stream_words, total_bits: int,
-                          qp: int | None = None) -> bytes:
+                          qp: int | None = None,
+                          frame_idx: int | None = None) -> bytes:
         from ..entropy.device_cavlc import merge_slice_data
 
-        bw = self._pslice_header_writer(qp)
+        bw = self._pslice_header_writer(qp, frame_idx=frame_idx)
         merge_slice_data(bw, stream_words, total_bits)
         return self._aud(primary_pic_type=1) + wrap_nal(
             H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2
@@ -253,11 +302,14 @@ class EncoderSession:
         return wrap_nal(H264NalType.SEI, rbsp, nal_ref_idc=0)
 
     def _pslice_header_writer(self, qp: int | None = None,
-                              first_mb: int = 0) -> BitWriter:
+                              first_mb: int = 0,
+                              frame_idx: int | None = None) -> BitWriter:
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
+        if frame_idx is None:
+            frame_idx = self.frame_idx
         bw = BitWriter()
-        frame_num = (self.frame_idx - self.frame_idx_of_idr) % (
+        frame_num = (frame_idx - self.frame_idx_of_idr) % (
             1 << self.sps.log2_max_frame_num
         )
         hdr = SliceHeader(
@@ -271,13 +323,15 @@ class EncoderSession:
         hdr.write(bw, self.sps, self.pps)
         return bw
 
-    def _pslice_au(self, fields: dict, qp: int | None = None) -> bytes:
+    def _pslice_au(self, fields: dict, qp: int | None = None,
+                   frame_idx: int | None = None) -> bytes:
         from .. import native
 
         n_cols = self.sps.pic_width_in_mbs
         au = b""
         for r0, r1 in self.slice_rows:
-            bw = self._pslice_header_writer(qp, first_mb=r0 * n_cols)
+            bw = self._pslice_header_writer(qp, first_mb=r0 * n_cols,
+                                            frame_idx=frame_idx)
             if not native.write_pslice_native(
                 bw, fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
                 fields["cdc_levels"][r0:r1], fields["cac_levels"][r0:r1],

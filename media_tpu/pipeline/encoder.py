@@ -223,10 +223,29 @@ class FrameEncoder:
         )
         return np.asarray(streams), np.asarray(bits), recon
 
+    def encode_pframes_packed_dev(self, ys_d, us_d, vs_d, ref, qp: int,
+                                  search_range: int = 8,
+                                  deblock: bool = False):
+        """Like encode_pframes_packed, but takes device-resident planes and
+        returns device arrays (no host download): the building block of the
+        software-pipelined session path, where downloads are deferred so they
+        overlap the next chunk's compute."""
+        qp_c = int(T.chroma_qp(qp))
+        return self._encode_pbatch_packed_device(
+            ys_d, us_d, vs_d, *ref,
+            jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
+        )
+
     @property
     def cap_words(self) -> int:
-        # 2 bits/pixel budget for packed slice_data, 64 KiB minimum.
-        return max(self.width * self.height // 16, 16384)
+        # ~1.5 bits/pixel budget for packed slice_data (64 KiB minimum): the
+        # stream buffer is downloaded per frame, so the cap is sized with
+        # headroom above the realistic operating envelope (<=10 Mbps CBR is
+        # ~0.16 bpp at 1080p30; high-QP noise peaks near 1 bpp) rather than
+        # the theoretical worst case; a denser frame overflows the whole
+        # chunk to the host-packing fallback, which costs far more than the
+        # extra download.
+        return max(self.width * self.height // 21, 16384)
 
     @functools.partial(jax.jit, static_argnums=(0, 9, 10))
     def _encode_pbatch_packed_device(self, ys, us, vs, ref_y, ref_u, ref_v,

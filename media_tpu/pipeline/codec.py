@@ -54,6 +54,10 @@ class EncoderConfig:
     insert_aud: bool = False
     # Emit recovery_point + user_data_unregistered SEI on each IDR (D.1.7-8).
     insert_sei: bool = False
+    # CABAC entropy coding (spec 9.3; the reference's actual operating point:
+    # VideoEncoderOpenH264.cpp:291 sets iEntropyCodingModeFlag = 1). Forces
+    # main profile and host-side entropy packing; see entropy/cabac_*.py.
+    cabac: bool = False
 
 
 class EncoderSession:
@@ -65,6 +69,13 @@ class EncoderSession:
         if cfg.signal_timing and cfg.framerate > 0:
             self.sps.vui_timing = (1, 2 * cfg.framerate)
         self.pps = PPS(pic_init_qp=cfg.qp, deblocking_filter_control_present=True)
+        if cfg.cabac:
+            # CABAC needs >= main profile; the baseline constraint flag off.
+            from ..core.syntax import PROFILE_BY_NAME
+
+            self.sps.profile_idc = max(self.sps.profile_idc,
+                                       PROFILE_BY_NAME["main"])
+            self.pps.entropy_coding_mode = 1
         pad_w = self.sps.pic_width_in_mbs * 16
         pad_h = self.sps.pic_height_in_mbs * 16
         n_rows = self.sps.pic_height_in_mbs
@@ -172,7 +183,8 @@ class EncoderSession:
             use_device = (
                 cfg.entropy_mode == "device"
                 or (cfg.entropy_mode == "auto" and jax.default_backend() != "cpu")
-            ) and len(self.slice_rows) == 1  # device packer is per-frame today
+            ) and len(self.slice_rows) == 1 and not cfg.cabac
+            # (device packer is per-frame CAVLC today)
             if not use_device:
                 drain(0)
                 ys = np.stack([p[0] for p in planes[i : i + k]])
@@ -332,6 +344,18 @@ class EncoderSession:
         for r0, r1 in self.slice_rows:
             bw = self._pslice_header_writer(qp, first_mb=r0 * n_cols,
                                             frame_idx=frame_idx)
+            if self.cfg.cabac:
+                from ..entropy.cabac_slice import write_pslice_cabac
+
+                while not bw.byte_aligned():
+                    bw.u(1, 1)  # cabac_alignment_one_bit (7.3.4)
+                payload = write_pslice_cabac(
+                    fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
+                    fields["cdc_levels"][r0:r1], fields["cac_levels"][r0:r1],
+                    self.cfg.qp if qp is None else qp)
+                au += wrap_nal(H264NalType.SLICE, bw.get_bytes() + payload,
+                               nal_ref_idc=2)
+                continue
             if not native.write_pslice_native(
                 bw, fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
                 fields["cdc_levels"][r0:r1], fields["cac_levels"][r0:r1],
@@ -377,6 +401,19 @@ class EncoderSession:
                 disable_deblocking_filter_idc=0 if cfg.deblock else 1,
             )
             hdr.write(bw, self.sps, self.pps)
+            if cfg.cabac:
+                from ..entropy.cabac_slice import write_islice_cabac
+
+                while not bw.byte_aligned():
+                    bw.u(1, 1)  # cabac_alignment_one_bit
+                payload = write_islice_cabac(
+                    result.mode16[r0:r1], result.chroma_mode[r0:r1],
+                    result.dc_levels[r0:r1], result.ac_levels[r0:r1],
+                    result.cdc_levels[r0:r1], result.cac_levels[r0:r1], qp_i)
+                slice_nals += wrap_nal(H264NalType.IDR_SLICE,
+                                       bw.get_bytes() + payload,
+                                       nal_ref_idc=3)
+                continue
             if not native.write_islice_native(
                 bw, result.mode16[r0:r1], result.chroma_mode[r0:r1],
                 result.dc_levels[r0:r1], result.ac_levels[r0:r1],

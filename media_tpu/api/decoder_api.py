@@ -32,7 +32,10 @@ MAX_PENDING_FRAMES = 8  # backpressure bound for the decoded-frame queue
 
 
 class VideoDecoder:
-    def __init__(self):
+    def __init__(self, backend: str = "auto"):
+        """backend: "auto" uses the TPU decode path (device IQ/IDCT/MC/
+        deblock, pipeline/decoder_tpu.py) on accelerator backends and the
+        scalar reference decoder on CPU; "tpu"/"reference" force one."""
         self._created = False
         self._inited = False
         self._started = False
@@ -47,11 +50,39 @@ class VideoDecoder:
         self._frames = deque()
         self._eos_pending = False
         self._eos_delivered = False
-        self._decoder = ReferenceDecoder()
+        self._backend = backend
+        self._decoder = self._make_decoder()
         # fps stat
         self._frame_count = 0
         self._stat_t0 = time.monotonic()
         self._stat_frames = 0
+
+    def _make_decoder(self):
+        use_tpu = self._backend == "tpu"
+        if self._backend == "auto":
+            import jax
+
+            use_tpu = jax.default_backend() != "cpu"
+        if use_tpu:
+            from ..pipeline.decoder_tpu import TpuDecoder
+
+            return TpuDecoder()
+        return ReferenceDecoder()
+
+    def _fallback_to_reference(self, chunk: bytes):
+        """Swap the TPU decoder for the scalar reference mid-stream (feature
+        outside the device path's envelope), carrying over parameter sets and
+        reference planes, then retry the chunk."""
+        import numpy as np
+
+        old = self._decoder
+        ref = ReferenceDecoder()
+        ref.sps, ref.pps = old.sps, old.pps
+        if getattr(old, "ref_planes", None) is not None:
+            ref.ref_planes = tuple(
+                np.asarray(p).astype(np.int32) for p in old.ref_planes)
+        self._decoder = ref
+        return ref.decode_annexb(chunk)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -123,7 +154,7 @@ class VideoDecoder:
         self._eos_pending = False
         self._eos_delivered = False
         if self._saved_headers:
-            self._decoder = ReferenceDecoder()
+            self._decoder = self._make_decoder()
             self._decoder.decode_annexb(self._saved_headers)
         return DecoderRetCode.VIDEO_DECODER_SUCCESS
 
@@ -153,9 +184,20 @@ class VideoDecoder:
         try:
             decoded = self._decoder.decode_annexb(chunk)
         except Exception as e:
-            log.err("decode failed: %s", e)
-            self.stop_decoder()
-            return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
+            from ..pipeline.decoder_tpu import UnsupportedStream
+
+            if isinstance(e, UnsupportedStream):
+                log.warn("TPU decode path: %s; falling back to reference", e)
+                try:
+                    decoded = self._fallback_to_reference(chunk)
+                except Exception as e2:
+                    log.err("decode failed: %s", e2)
+                    self.stop_decoder()
+                    return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
+            else:
+                log.err("decode failed: %s", e)
+                self.stop_decoder()
+                return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
         for f in decoded:
             self._frames.append(f)
         return DecoderRetCode.VIDEO_DECODER_SUCCESS

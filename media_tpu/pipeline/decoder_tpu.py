@@ -1,0 +1,420 @@
+"""TPU-backed H.264 decoder: host entropy parse, device reconstruction.
+
+The serial stages stay on the host (NAL scan, slice headers, CAVLC/CABAC
+symbol parse — inherently bit-serial), and everything with pixel-level
+parallelism runs batched under jit on the device: inverse quant + IDCT,
+quarter-pel motion compensation (half-pel planes + one window extraction +
+a 16-way sub-pel select), wavefront intra reconstruction, and the in-loop
+deblocking filter. Reference frames stay device-resident between AUs.
+
+This is the product decode path the reference delegates to the Logan ASIC
+(video_decoder/VideoDecoderNetint.cpp:550-700); the scalar numpy
+ReferenceDecoder (ref/decoder.py) remains the bit-exactness oracle —
+tests pin this decoder's output equal to it frame by frame.
+
+Scope: the streams this framework's encoder emits (single slice per
+picture, P_Skip/P_L0_16x16 + I_16x16, CAVLC or CABAC, |MV| within the
+supported window). Anything else raises UnsupportedStream and the API layer
+falls back to the reference decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bitstream import BitReader
+from ..core import nal as nal_mod
+from ..core.syntax import PPS, SPS, SliceHeader
+from ..entropy import cavlc
+from ..entropy.cavlc_tables import CBP_TABLE
+from ..ops import intra as intra_ops
+from ..ops import transform as T
+from ..ref.decoder import DecodedFrame
+from . import mv_pred
+from .encoder import ZSCAN_TO_RASTER, _blocks8_mb, _blocks_mb
+from .pframe_core import INTERP_HALO, _extract_win, _mb_context, mc_chroma_ext
+from ..ops import interp as interp_ops
+
+# Supported integer MV reach (full-pel) for the device MC window machinery;
+# the encoder's search range (8) + sub-pel refinement stays well inside.
+MV_RANGE = 10
+
+
+class UnsupportedStream(Exception):
+    """Feature outside the TPU decode path's envelope (caller falls back)."""
+
+
+# ------------------------------------------------------------- host parsing
+
+
+def parse_pslice_symbols(br: BitReader, R: int, C: int):
+    """CAVLC P-slice symbol parse (no reconstruction): the inverse of
+    pipeline/slice_coder.write_pslice_mbs."""
+    mv = np.zeros((R, C, 2), np.int32)
+    luma = np.zeros((R, C, 16, 16), np.int32)
+    cdc = np.zeros((R, C, 2, 4), np.int32)
+    cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    luma_nnz = np.zeros((R * 4, C * 4), np.int32)
+    chroma_nnz = np.zeros((2, R * 2, C * 2), np.int32)
+    mv_map: dict = {}
+
+    def nc_of(nnz, by, bx):
+        a_av = bx > 0
+        b_av = by > 0
+        na = int(nnz[by, bx - 1]) if a_av else 0
+        nb = int(nnz[by - 1, bx]) if b_av else 0
+        if a_av and b_av:
+            return (na + nb + 1) >> 1
+        return na if a_av else (nb if b_av else 0)
+
+    idx = 0
+    n = R * C
+    while idx < n:
+        run = br.ue()
+        for _ in range(run):
+            if idx >= n:
+                raise UnsupportedStream("skip run past slice end")
+            r, c = divmod(idx, C)
+            smv = mv_pred.skip_mv(mv_map, r, c, C)
+            mv[r, c] = smv
+            mv_map[(r, c)] = smv
+            idx += 1
+        if idx >= n:
+            break
+        r, c = divmod(idx, C)
+        mb_type = br.ue()
+        if mb_type != 0:
+            raise UnsupportedStream(f"P mb_type {mb_type}")
+        mvdx = br.se()
+        mvdy = br.se()
+        px, py = mv_pred.predict_mv(mv_map, r, c, C)
+        this = (px + mvdx, py + mvdy)
+        mv[r, c] = this
+        mv_map[(r, c)] = this
+        cbp = int(CBP_TABLE[br.ue()][1])
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp and br.se():
+            raise UnsupportedStream("mb_qp_delta != 0")
+        for g8 in range(4):
+            blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+            if not (cbp_luma >> g8) & 1:
+                for b in blks:
+                    luma_nnz[r * 4 + b // 4, c * 4 + b % 4] = 0
+                continue
+            for b in blks:
+                by, bx = r * 4 + b // 4, c * 4 + b % 4
+                coeffs, tc = cavlc.decode_block(br, nc_of(luma_nnz, by, bx), 16)
+                luma[r, c, b] = coeffs
+                luma_nnz[by, bx] = tc
+        if cbp_chroma:
+            for comp in range(2):
+                coeffs, _ = cavlc.decode_block(br, -1, 4)
+                cdc[r, c, comp] = coeffs
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for b in range(4):
+                    by, bx = r * 2 + b // 2, c * 2 + b % 2
+                    coeffs, tc = cavlc.decode_block(
+                        br, nc_of(chroma_nnz[comp], by, bx), 15)
+                    cac[r, c, comp, b] = coeffs
+                    chroma_nnz[comp, by, bx] = tc
+        else:
+            chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+        idx += 1
+    return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
+            "cac_levels": cac}
+
+
+# -------------------------------------------------------- device P recon
+
+
+def _luma_mc_device(ref_y, mv, R: int, C: int):
+    """Quarter-pel luma MC for arbitrary per-MB MVs within MV_RANGE.
+
+    ref_y: (H, W) int32; mv: (N, 2) quarter-pel. Builds the three half-pel
+    planes once, extracts one 18x18 window per plane per MB at the integer
+    base, then selects among the 16 sub-pel positions (spec Table 8-12) —
+    the decode-side twin of the encoder's refine_subpel."""
+    rs = MV_RANGE
+    pad_off = rs + INTERP_HALO
+    plane = jnp.pad(ref_y, pad_off, mode="edge")
+    hp_b, hp_h, hp_j = interp_ops.half_pel_planes(plane)
+
+    ix = mv[:, 0] >> 2
+    iy = mv[:, 1] >> 2
+    fx = mv[:, 0] & 3
+    fy = mv[:, 1] & 3
+    dy0 = iy + rs + 1
+    dx0 = ix + rs + 1
+
+    def win(p):
+        ctx = _mb_context(p, R, C, pad_off, 16, rs + 2, 2 * rs + 20)
+        return _extract_win(ctx, dy0, dx0, 18)
+
+    wg, wb, wh, wj = win(plane), win(hp_b), win(hp_h), win(hp_j)
+    pred = jnp.zeros((R * C, 16, 16), jnp.int32)
+    for yf in range(4):
+        for xf in range(4):
+            cand = interp_ops.subpel_value(wg, wb, wh, wj, xf, yf)
+            sel = ((fx == xf) & (fy == yf))[:, None, None]
+            pred = jnp.where(sel, cand, pred)
+    return pred
+
+
+def _chroma_recon(pred_c, cdc_c, cac_c, qp_c):
+    """Decode-side chroma residual chain (mirrors pframe_core.chroma_code's
+    reconstruction half)."""
+    n = pred_c.shape[0]
+    z2 = T.inverse_zigzag(jnp.pad(cdc_c, ((0, 0), (0, 12))))[:, :2, :2]
+    z2 = cdc_c.reshape(n, 2, 2)
+    d2 = T.dequant_dc_2x2(T.hadamard_2x2(z2), qp_c)
+    z_ac = T.inverse_zigzag(
+        jnp.concatenate([jnp.zeros((n, 4, 1), jnp.int32), cac_c], axis=2)
+    )
+    d_c = T.dequant_4x4(z_ac, qp_c).at[:, :, 0, 0].set(d2.reshape(n, 4))
+    return jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
+                         mv, luma, symbols_cdc_cac, deblock: bool, qp):
+    cdc, cac = symbols_cdc_cac
+    n = R * C
+    qp_c = jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
+    mvf = mv.reshape(n, 2)
+    pred_y = _luma_mc_device(jnp.asarray(ref_y, jnp.int32), mvf, R, C)
+    halo_c = MV_RANGE // 2 + 2
+    ru_ext = jnp.pad(jnp.asarray(ref_u, jnp.int32),
+                     ((halo_c, halo_c), (0, 0)), mode="edge")
+    rv_ext = jnp.pad(jnp.asarray(ref_v, jnp.int32),
+                     ((halo_c, halo_c), (0, 0)), mode="edge")
+    pred_u = mc_chroma_ext(ru_ext, mvf, R, C, halo_c)
+    pred_v = mc_chroma_ext(rv_ext, mvf, R, C, halo_c)
+
+    z = T.inverse_zigzag(luma.reshape(n, 16, 16))
+    res = _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp)))
+    recon = jnp.clip(pred_y + res, 0, 255)
+    rec_u = _chroma_recon(pred_u, cdc.reshape(n, 2, 4)[:, 0],
+                          cac.reshape(n, 2, 4, 15)[:, 0], qp_c)
+    rec_v = _chroma_recon(pred_v, cdc.reshape(n, 2, 4)[:, 1],
+                          cac.reshape(n, 2, 4, 15)[:, 1], qp_c)
+
+    def plane(x, size):
+        return (x.reshape(R, C, size, size).transpose(0, 2, 1, 3)
+                .reshape(R * size, C * size).astype(jnp.uint8))
+
+    ry, ru, rv = plane(recon, 16), plane(rec_u, 8), plane(rec_v, 8)
+    if deblock:
+        from .deblock_apply import deblock_pframe_from_symbols
+        from .pframe_core import SYMBOLS_PER_MB
+
+        symbols = jnp.concatenate([
+            mv.reshape(n, 2).astype(jnp.int16),
+            luma.reshape(n, 256).astype(jnp.int16),
+            cdc.reshape(n, 8).astype(jnp.int16),
+            cac.reshape(n, 120).astype(jnp.int16),
+        ], axis=-1).reshape(R, C, SYMBOLS_PER_MB)
+        ry, ru, rv = deblock_pframe_from_symbols(ry, ru, rv, symbols, qp,
+                                                 qp_c, R, C)
+    return ry, ru, rv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
+                         chroma_sym, qp, deblock: bool):
+    """Wavefront I_16x16 reconstruction with given modes/levels (the decode
+    twin of FrameEncoder._encode_iframe_device's scan)."""
+    dc_levels, ac_levels = luma_sym
+    cdc_levels, cac_levels = chroma_sym
+    qp_c = jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
+
+    from .encoder import _wave_indices
+
+    rows_np, cols_np, mask_np = _wave_indices(R, C)
+    rows, cols, mask = map(jnp.asarray, (rows_np, cols_np, mask_np))
+    n_waves = rows.shape[0]
+
+    state = {
+        "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
+        "recon_u": jnp.zeros((R, C, 8, 8), jnp.int32),
+        "recon_v": jnp.zeros((R, C, 8, 8), jnp.int32),
+    }
+
+    def wave_step(state, wave_idx):
+        r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
+        c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
+        valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
+        avail_top = (r > 0) & valid
+        avail_left = (c > 0) & valid
+        rm1 = jnp.maximum(r - 1, 0)
+        cm1 = jnp.maximum(c - 1, 0)
+        rc = jnp.minimum(r, R - 1)
+        cc = jnp.minimum(c, C - 1)
+
+        ry = state["recon_y"]
+        top = ry[rm1, cc, 15, :]
+        left = ry[rc, cm1, :, 15]
+        top_left = ry[rm1, cm1, 15, 15]
+        preds = intra_ops.pred_16x16_all(top, left, top_left, avail_top,
+                                         avail_left)
+        mode = mode16[rc, cc]
+        pred = jnp.take_along_axis(preds, mode[:, None, None, None],
+                                   axis=1)[:, 0]
+        # Luma residual: DC Hadamard chain + AC blocks.
+        dcz = dc_levels[rc, cc]  # (N, 16) zig-zag
+        z_dc = T.inverse_zigzag(dcz)
+        f_dc = T.hadamard_4x4(z_dc.reshape(-1, 4, 4))
+        d_dc = T.dequant_dc_4x4(f_dc, qp)
+        acz = ac_levels[rc, cc]  # (N, 16, 15)
+        z_ac = T.inverse_zigzag(jnp.concatenate(
+            [jnp.zeros(acz.shape[:-1] + (1,), jnp.int32), acz], axis=-1))
+        d = T.dequant_4x4(z_ac, qp).at[:, :, 0, 0].set(d_dc.reshape(-1, 16))
+        recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(d)), 0, 255)
+
+        cu_top = state["recon_u"][rm1, cc, 7, :]
+        cu_left = state["recon_u"][rc, cm1, :, 7]
+        cu_tl = state["recon_u"][rm1, cm1, 7, 7]
+        cv_top = state["recon_v"][rm1, cc, 7, :]
+        cv_left = state["recon_v"][rc, cm1, :, 7]
+        cv_tl = state["recon_v"][rm1, cm1, 7, 7]
+        cmode = chroma_mode[rc, cc]
+        preds_u = intra_ops.pred_chroma_all(cu_top, cu_left, cu_tl,
+                                            avail_top, avail_left)
+        preds_v = intra_ops.pred_chroma_all(cv_top, cv_left, cv_tl,
+                                            avail_top, avail_left)
+        pred_u = jnp.take_along_axis(preds_u, cmode[:, None, None, None],
+                                     axis=1)[:, 0]
+        pred_v = jnp.take_along_axis(preds_v, cmode[:, None, None, None],
+                                     axis=1)[:, 0]
+        rec_u = _chroma_recon(pred_u, cdc_levels[rc, cc, 0],
+                              cac_levels[rc, cc, 0], qp_c)
+        rec_v = _chroma_recon(pred_v, cdc_levels[rc, cc, 1],
+                              cac_levels[rc, cc, 1], qp_c)
+
+        def scatter(dst, val):
+            old = dst[rc, cc]
+            val = jnp.where(
+                valid.reshape(valid.shape + (1,) * (val.ndim - 1)), val, old)
+            return dst.at[r, c].set(val, mode="drop")
+
+        state = {
+            "recon_y": scatter(state["recon_y"], recon),
+            "recon_u": scatter(state["recon_u"], rec_u),
+            "recon_v": scatter(state["recon_v"], rec_v),
+        }
+        return state, None
+
+    state, _ = jax.lax.scan(wave_step, state, jnp.arange(n_waves))
+    ry = state["recon_y"].transpose(0, 2, 1, 3).reshape(R * 16, C * 16)
+    ru = state["recon_u"].transpose(0, 2, 1, 3).reshape(R * 8, C * 8)
+    rv = state["recon_v"].transpose(0, 2, 1, 3).reshape(R * 8, C * 8)
+    if deblock:
+        from .deblock_apply import deblock_iframe
+
+        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C)
+    return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
+            rv.astype(jnp.uint8))
+
+
+# ------------------------------------------------------------------ session
+
+
+@dataclass
+class TpuDecoder:
+    """Stateful Annex-B decoder (same interface as ReferenceDecoder)."""
+
+    sps: SPS | None = None
+    pps: PPS | None = None
+    ref_planes: tuple | None = None  # device-resident (y, u, v) uint8
+    frames: list = field(default_factory=list)
+
+    def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
+        out = []
+        for nu in nal_mod.iter_nal_units(data):
+            if nu.nal_type == 7:
+                self.sps = SPS.parse(BitReader(nu.rbsp))
+            elif nu.nal_type == 8:
+                self.pps = PPS.parse(BitReader(nu.rbsp))
+            elif nu.nal_type in (1, 5):
+                frame = self._decode_slice(nu.rbsp, nu.nal_type,
+                                           nu.nal_ref_idc)
+                if frame is not None:
+                    out.append(frame)
+                    self.frames.append(frame)
+        return out
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int, nal_ref_idc: int):
+        if self.sps is None or self.pps is None:
+            raise ValueError("slice before SPS/PPS")
+        sps, pps = self.sps, self.pps
+        br = BitReader(rbsp)
+        hdr = SliceHeader.parse(br, sps, pps, nal_type=nal_type,
+                                nal_ref_idc=nal_ref_idc)
+        if hdr.first_mb_in_slice != 0:
+            raise UnsupportedStream("multi-slice pictures: use the reference"
+                                    " decoder")
+        try:
+            return self._decode_slice_body(rbsp, br, hdr, nal_ref_idc)
+        except UnsupportedStream:
+            raise
+        except (ValueError, NotImplementedError, IndexError, KeyError) as e:
+            # Syntax outside this path's envelope (or a stream the scalar
+            # reference decoder may still handle): route to the fallback.
+            raise UnsupportedStream(str(e)) from e
+
+    def _decode_slice_body(self, rbsp, br, hdr, nal_ref_idc: int):
+        sps, pps = self.sps, self.pps
+        qp = pps.pic_init_qp + hdr.slice_qp_delta
+        R, C = sps.pic_height_in_mbs, sps.pic_width_in_mbs
+        deblock = hdr.disable_deblocking_filter_idc != 1
+
+        if hdr.is_p:
+            if self.ref_planes is None:
+                raise ValueError("P slice without reference frame")
+            if pps.entropy_coding_mode:
+                from ..entropy.cabac_slice import parse_pslice_cabac
+
+                pos = br.bit_position
+                pos += (8 - pos % 8) % 8
+                sym = parse_pslice_cabac(rbsp, pos, R, C, qp)
+            else:
+                sym = parse_pslice_symbols(br, R, C)
+            if np.abs(sym["mv"] >> 2).max() > MV_RANGE - 2:
+                raise UnsupportedStream("MV beyond the device MC window")
+            ry, ru, rv = _recon_pframe_device(
+                R, C, *self.ref_planes,
+                jnp.asarray(sym["mv"]), jnp.asarray(sym["luma_levels"]),
+                (jnp.asarray(sym["cdc_levels"]),
+                 jnp.asarray(sym["cac_levels"])),
+                deblock, jnp.int32(qp))
+        else:
+            if pps.entropy_coding_mode:
+                from ..entropy.cabac_slice import parse_islice_cabac
+
+                pos = br.bit_position
+                pos += (8 - pos % 8) % 8
+                s = parse_islice_cabac(rbsp, pos, R, C, qp)
+            else:
+                from .slice_coder import parse_islice_mbs
+
+                p = parse_islice_mbs(br, R, C, qp)
+                s = {"mode16": p.mode16, "chroma_mode": p.chroma_mode,
+                     "dc_levels": p.dc_levels, "ac_levels": p.ac_levels,
+                     "cdc_levels": p.cdc_levels, "cac_levels": p.cac_levels}
+            ry, ru, rv = _recon_iframe_device(
+                R, C, jnp.asarray(s["mode16"]), jnp.asarray(s["chroma_mode"]),
+                (jnp.asarray(s["dc_levels"]), jnp.asarray(s["ac_levels"])),
+                (jnp.asarray(s["cdc_levels"]), jnp.asarray(s["cac_levels"])),
+                jnp.int32(qp), deblock)
+
+        if nal_ref_idc != 0:
+            self.ref_planes = (ry, ru, rv)
+        return DecodedFrame(
+            y=np.asarray(ry), u=np.asarray(ru), v=np.asarray(rv),
+            frame_num=hdr.frame_num, idr=hdr.idr,
+        )

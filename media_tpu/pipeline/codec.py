@@ -46,6 +46,11 @@ class EncoderConfig:
     # Slices per frame (SM_FIXEDSLCNUM analog): contiguous MB-row bands with
     # independent entropy state; the multi-chip tile unit.
     num_slices: int = 1
+    # False selects disable_deblocking_filter_idc == 2: deblocking stays on
+    # but never crosses slice boundaries, making each slice's reconstruction
+    # fully local — the property the multi-chip tile path relies on (each
+    # device owns one slice end to end, only the ME halo crosses tiles).
+    deblock_across_slices: bool = True
     # Carry the frame rate in-band as SPS VUI timing info (E.2.1), so players
     # recover fps without out-of-band config (the reference only passes fps to
     # the vendor encoder, VideoEncoderOpenH264.cpp:237).
@@ -87,6 +92,12 @@ class EncoderSession:
         self._frame_encoder = FrameEncoder(
             pad_w, pad_h, slice_rows=tuple(r0 for r0, _ in self.slice_rows[1:])
         )
+        if not cfg.deblock_across_slices and len(self.slice_rows) > 1:
+            self._frame_encoder.deblock_slice_starts = tuple(
+                r0 for r0, _ in self.slice_rows[1:])
+        self._deblock_idc = (
+            0 if cfg.deblock_across_slices or len(self.slice_rows) == 1 else 2
+        ) if cfg.deblock else 1
         self._pad_w, self._pad_h = pad_w, pad_h
         self.frame_idx = 0
         self.idr_pic_id = 0
@@ -330,7 +341,7 @@ class EncoderSession:
             frame_num=frame_num,
             first_mb_in_slice=first_mb,
             slice_qp_delta=qp - self.pps.pic_init_qp,
-            disable_deblocking_filter_idc=0 if cfg.deblock else 1,
+            disable_deblocking_filter_idc=self._deblock_idc,
         )
         hdr.write(bw, self.sps, self.pps)
         return bw
@@ -398,7 +409,7 @@ class EncoderSession:
                 frame_num=0,
                 first_mb_in_slice=r0 * n_cols,
                 slice_qp_delta=qp_i - self.pps.pic_init_qp,
-                disable_deblocking_filter_idc=0 if cfg.deblock else 1,
+                disable_deblocking_filter_idc=self._deblock_idc,
             )
             hdr.write(bw, self.sps, self.pps)
             if cfg.cabac:

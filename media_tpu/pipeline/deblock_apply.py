@@ -424,8 +424,18 @@ def _deblock_frame_gather(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     return yp[4:, 4:], up[4:, 4:], vp[4:, 4:]
 
 
+def _zero_slice_boundaries(bs_h, slice_starts):
+    """disable_deblocking_filter_idc == 2: no filtering across slice
+    boundaries — the horizontal edges at each interior slice-start MB row
+    get bS 0 (the frame border row already is)."""
+    for r0 in slice_starts:
+        if r0 > 0:
+            bs_h = bs_h.at[4 * r0, :].set(0)
+    return bs_h
+
+
 def deblock_pframe_from_symbols(recon_y, recon_u, recon_v, symbols, qp, qp_c,
-                                R: int, C: int):
+                                R: int, C: int, slice_starts: tuple = ()):
     """Apply inter deblocking given the packed symbol tensor (device-side)."""
     from ..ops.deblock import inter_bs_grids
     from .pframe_core import unpack_symbols_device
@@ -436,6 +446,7 @@ def deblock_pframe_from_symbols(recon_y, recon_u, recon_v, symbols, qp, qp_c,
         blk_nnz.reshape(R, C, 4, 4).transpose(0, 2, 1, 3).reshape(R * 4, C * 4)
     )
     bs_v, bs_h = inter_bs_grids(nnz_grid, mv, R, C)
+    bs_h = _zero_slice_boundaries(bs_h, slice_starts)
     y, u, v = deblock_frame(recon_y, recon_u, recon_v, qp, qp_c, bs_v, bs_h, R, C)
     return (
         jnp.clip(y, 0, 255).astype(jnp.uint8),
@@ -444,10 +455,12 @@ def deblock_pframe_from_symbols(recon_y, recon_u, recon_v, symbols, qp, qp_c,
     )
 
 
-def deblock_iframe(recon_y, recon_u, recon_v, qp, qp_c, R: int, C: int):
+def deblock_iframe(recon_y, recon_u, recon_v, qp, qp_c, R: int, C: int,
+                   slice_starts: tuple = ()):
     from ..ops.deblock import intra_bs_grids
 
     bs_v, bs_h = intra_bs_grids(R, C)
+    bs_h = _zero_slice_boundaries(bs_h, slice_starts)
     y, u, v = deblock_frame(recon_y, recon_u, recon_v, qp, qp_c, bs_v, bs_h, R, C)
     return (
         jnp.clip(y, 0, 255).astype(jnp.uint8),

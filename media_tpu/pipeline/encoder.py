@@ -132,6 +132,9 @@ class FrameEncoder:
         for r in slice_rows:
             has_top[r] = False
         self._row_has_top = jnp.asarray(has_top)
+        # Interior slice-start rows; non-empty selects slice-local
+        # deblocking (disable_deblocking_filter_idc == 2 semantics).
+        self.deblock_slice_starts: tuple = ()
         self._encode_i = self._encode_iframe_device  # jitted via decorator
 
     # ------------------------------------------------------------------ intra
@@ -278,7 +281,7 @@ class FrameEncoder:
 
                 ry2, ru2, rv2 = deblock_pframe_from_symbols(
                     ry2, ru2, rv2, out["symbols"], qp, qp_c,
-                    self.n_rows, self.n_cols)
+                    self.n_rows, self.n_cols, self.deblock_slice_starts)
             return (ry2, ru2, rv2), (stream, bits)
 
         init = (
@@ -316,7 +319,7 @@ class FrameEncoder:
 
                 ry2, ru2, rv2 = deblock_pframe_from_symbols(
                     ry2, ru2, rv2, out["symbols"], qp, qp_c,
-                    self.n_rows, self.n_cols)
+                    self.n_rows, self.n_cols, self.deblock_slice_starts)
             return (ry2, ru2, rv2), out["symbols"]
 
         init = (
@@ -353,6 +356,7 @@ class FrameEncoder:
                 deblock_pframe_from_symbols(
                     out["recon_y"], out["recon_u"], out["recon_v"],
                     out["symbols"], qp, qp_c, self.n_rows, self.n_cols,
+                    self.deblock_slice_starts,
                 )
             )
         return out
@@ -503,7 +507,8 @@ class FrameEncoder:
             from .deblock_apply import deblock_iframe
 
             ry, ru, rv = deblock_iframe(ry, ru, rv, qp, qp_c,
-                                        self.n_rows, self.n_cols)
+                                        self.n_rows, self.n_cols,
+                                        self.deblock_slice_starts)
         else:
             ry, ru, rv = (x.astype(jnp.uint8) for x in (ry, ru, rv))
         out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
@@ -583,7 +588,7 @@ class FrameEncoder:
 
                 rdy, rdu, rdv = deblock_pframe_from_symbols(
                     rdy, rdu, rdv, out["symbols"], qp, qp_c,
-                    self.n_rows, self.n_cols)
+                    self.n_rows, self.n_cols, self.deblock_slice_starts)
             bits_f = bits.astype(jnp.float32)
             # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
             cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp.astype(jnp.float32))

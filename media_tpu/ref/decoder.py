@@ -157,6 +157,7 @@ class ReferenceDecoder:
                 "covered": 0,
                 "hdr": hdr,
                 "qp": qp,
+                "slice_starts": [],
             }
         asm = self._asm
         y, u, v = asm["y"], asm["u"], asm["v"]
@@ -169,6 +170,7 @@ class ReferenceDecoder:
 
         mb_idx = hdr.first_mb_in_slice
         r0 = mb_idx // n_cols  # row-aligned slices
+        asm["slice_starts"].append(r0)
         pred_mv = {}  # (r - r0, c) -> qpel MV, slice-local
         start_idx = mb_idx
         while mb_idx < mb_count and (mb_idx == start_idx or br.more_rbsp_data()):
@@ -215,6 +217,12 @@ class ReferenceDecoder:
                 bs_v, bs_h = inter_bs_grids_np(luma_nnz, asm["mv_grid"])
             else:
                 bs_v, bs_h = intra_bs_grids_np(n_rows, n_cols)
+            if hdr.disable_deblocking_filter_idc == 2:
+                # No filtering across slice boundaries: zero the horizontal
+                # edges at each interior slice-start MB row.
+                for sr in asm["slice_starts"]:
+                    if sr > 0:
+                        bs_h[4 * sr, :] = 0
             y, u, v = deblock_frame_np(
                 np.clip(y, 0, 255), np.clip(u, 0, 255), np.clip(v, 0, 255),
                 qp, qp_c, bs_v, bs_h)

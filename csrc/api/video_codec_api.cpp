@@ -161,4 +161,152 @@ MtpuEncoderRetCode EncodeOneFrame(MtpuVideoEncoder* enc, const uint8_t* in,
   return VIDEO_ENCODER_SUCCESS;
 }
 
+// ----------------------------- decoder half --------------------------------
+
+struct MtpuVideoDecoder {
+  PyObject* decoder = nullptr;  // media_tpu.api.VideoDecoder
+};
+
+MtpuVideoDecoder* CreateVideoDecoder(void) {
+  ensure_python();
+  Gil gil;
+  PyRef api_mod(PyImport_ImportModule("media_tpu.api"));
+  if (!api_mod.p) {
+    PyErr_Print();
+    return nullptr;
+  }
+  PyRef dec(PyObject_CallMethod(api_mod.p, "create_video_decoder", nullptr));
+  if (!dec.p || dec.p == Py_None) {
+    PyErr_Print();
+    return nullptr;
+  }
+  auto* h = new MtpuVideoDecoder();
+  h->decoder = dec.release();
+  return h;
+}
+
+MtpuDecoderRetCode DestroyVideoDecoder(MtpuVideoDecoder* dec) {
+  if (!dec) return VIDEO_DECODER_DESTROY_FAIL;
+  Gil gil;
+  PyRef r(PyObject_CallMethod(dec->decoder, "destroy_decoder", nullptr));
+  Py_XDECREF(dec->decoder);
+  delete dec;
+  return VIDEO_DECODER_SUCCESS;
+}
+
+static MtpuDecoderRetCode dec_simple(MtpuVideoDecoder* dec, const char* name,
+                                     MtpuDecoderRetCode fail_code) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  PyRef r(PyObject_CallMethod(dec->decoder, name, nullptr));
+  if (!r.p) {
+    PyErr_Print();
+    return fail_code;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
+MtpuDecoderRetCode MtpuCreateDecoder(MtpuVideoDecoder* dec,
+                                     uint32_t codec_format) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  PyRef r(PyObject_CallMethod(dec->decoder, "create_decoder", "I",
+                              codec_format));
+  if (!r.p) {
+    PyErr_Print();
+    return VIDEO_DECODER_CREATE_FAIL;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
+MtpuDecoderRetCode InitDecoder(MtpuVideoDecoder* dec) {
+  return dec_simple(dec, "init_decoder", VIDEO_DECODER_INIT_FAIL);
+}
+
+MtpuDecoderRetCode SetDecodeParams(MtpuVideoDecoder* dec, uint32_t width,
+                                   uint32_t height, uint32_t pixel_format) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  PyRef kwargs(Py_BuildValue("{s:I,s:I,s:I}", "width", width, "height",
+                             height, "pixel_format", pixel_format));
+  PyRef meth(PyObject_GetAttrString(dec->decoder, "set_decode_params"));
+  PyRef empty(PyTuple_New(0));
+  if (!kwargs.p || !meth.p || !empty.p)
+    return VIDEO_DECODER_SET_DECODE_PARAMS_FAIL;
+  PyRef r(PyObject_Call(meth.p, empty.p, kwargs.p));
+  if (!r.p) {
+    PyErr_Print();
+    return VIDEO_DECODER_SET_DECODE_PARAMS_FAIL;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
+MtpuDecoderRetCode StartDecoder(MtpuVideoDecoder* dec) {
+  return dec_simple(dec, "start_decoder", VIDEO_DECODER_START_FAIL);
+}
+
+MtpuDecoderRetCode StopDecoder(MtpuVideoDecoder* dec) {
+  return dec_simple(dec, "stop_decoder", VIDEO_DECODER_STOP_FAIL);
+}
+
+MtpuDecoderRetCode FlushDecoder(MtpuVideoDecoder* dec) {
+  return dec_simple(dec, "flush", VIDEO_DECODER_DECODE_FAIL);
+}
+
+MtpuDecoderRetCode SendStreamData(MtpuVideoDecoder* dec, const uint8_t* buf,
+                                  uint32_t len) {
+  if (!dec || (!buf && len)) return VIDEO_DECODER_INVALID_PARAM;
+  Gil gil;
+  PyRef data(PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(len ? buf : reinterpret_cast<const uint8_t*>("")),
+      static_cast<Py_ssize_t>(len)));
+  if (!data.p) return VIDEO_DECODER_DECODE_FAIL;
+  PyRef r(PyObject_CallMethod(dec->decoder, "send_stream_data", "O", data.p));
+  if (!r.p) {
+    PyErr_Print();
+    return VIDEO_DECODER_DECODE_FAIL;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
+MtpuDecoderRetCode RetrieveFrameData(MtpuVideoDecoder* dec, uint8_t* dst,
+                                     uint32_t max_len, uint32_t* filled,
+                                     uint32_t* width, uint32_t* height) {
+  if (!dec || !dst || !filled) return VIDEO_DECODER_INVALID_PARAM;
+  Gil gil;
+  PyRef r(PyObject_CallMethod(dec->decoder, "retrieve_frame_data", "I",
+                              max_len));
+  if (!r.p || !PyTuple_Check(r.p) || PyTuple_Size(r.p) != 3) {
+    PyErr_Print();
+    return VIDEO_DECODER_DECODE_FAIL;
+  }
+  long code = PyLong_AsLong(PyTuple_GetItem(r.p, 0));
+  PyObject* info = PyTuple_GetItem(r.p, 2);
+  if (width && PyDict_Check(info)) {
+    PyObject* w = PyDict_GetItemString(info, "width");
+    if (w) *width = static_cast<uint32_t>(PyLong_AsLong(w));
+  }
+  if (height && PyDict_Check(info)) {
+    PyObject* h = PyDict_GetItemString(info, "height");
+    if (h) *height = static_cast<uint32_t>(PyLong_AsLong(h));
+  }
+  if (code != VIDEO_DECODER_SUCCESS) {
+    *filled = 0;
+    return static_cast<MtpuDecoderRetCode>(code);
+  }
+  char* raw = nullptr;
+  Py_ssize_t n = 0;
+  if (PyBytes_AsStringAndSize(PyTuple_GetItem(r.p, 1), &raw, &n) != 0) {
+    PyErr_Print();
+    return VIDEO_DECODER_DECODE_FAIL;
+  }
+  if (static_cast<uint32_t>(n) > max_len) {
+    *filled = 0;
+    return VIDEO_DECODER_INVALID_PARAM;
+  }
+  std::memcpy(dst, raw, static_cast<size_t>(n));
+  *filled = static_cast<uint32_t>(n);
+  return VIDEO_DECODER_SUCCESS;
+}
+
 }  // extern "C"

@@ -18,6 +18,8 @@
 extern "C" {
 #endif
 
+/* Value-exact with the reference's EncoderRetCode
+ * (video_codec/VideoCodecApi.h:8-20); codes >= 0x100 are extensions. */
 typedef enum {
   VIDEO_ENCODER_SUCCESS = 0x00,
   VIDEO_ENCODER_CREATE_FAIL = 0x01,
@@ -26,11 +28,37 @@ typedef enum {
   VIDEO_ENCODER_ENCODE_FAIL = 0x04,
   VIDEO_ENCODER_STOP_FAIL = 0x05,
   VIDEO_ENCODER_DESTROY_FAIL = 0x06,
-  VIDEO_ENCODER_RESET_FAIL = 0x07,
-  VIDEO_ENCODER_NOT_INITED = 0x08,
-  VIDEO_ENCODER_INVALID_PARAM = 0x09,
-  VIDEO_ENCODER_UNSUPPORTED = 0x0A,
+  VIDEO_ENCODER_REGISTER_FAIL = 0x07,
+  VIDEO_ENCODER_RESET_FAIL = 0x08,
+  VIDEO_ENCODER_FORCE_KEY_FRAME_FAIL = 0x09,
+  VIDEO_ENCODER_SET_ENCODE_PARAMS_FAIL = 0x0A,
+  VIDEO_ENCODER_NOT_INITED = 0x100,
+  VIDEO_ENCODER_INVALID_PARAM = 0x101,
+  VIDEO_ENCODER_UNSUPPORTED = 0x102,
 } MtpuEncoderRetCode;
+
+/* Value-exact with the reference's DecoderRetCode
+ * (video_decoder/include/VideoDecoder.h:10-26). */
+typedef enum {
+  VIDEO_DECODER_SUCCESS = 0,
+  VIDEO_DECODER_CREATE_FAIL = 1,
+  VIDEO_DECODER_INIT_FAIL = 2,
+  VIDEO_DECODER_START_FAIL = 3,
+  VIDEO_DECODER_DECODE_FAIL = 4,
+  VIDEO_DECODER_STOP_FAIL = 5,
+  VIDEO_DECODER_DESTROY_FAIL = 6,
+  VIDEO_DECODER_RESET_FAIL = 7,
+  VIDEO_DECODER_GET_DECODE_PARAMS_FAIL = 8,
+  VIDEO_DECODER_SET_DECODE_PARAMS_FAIL = 9,
+  VIDEO_DECODER_SET_FUNC_FAIL = 10,
+  VIDEO_DECODER_WRITE_OVERFLOW = 11,
+  VIDEO_DECODER_READ_UNDERFLOW = 12,
+  VIDEO_DECODER_BAD_PIC_SIZE = 13,
+  VIDEO_DECODER_EOS = 14,
+  VIDEO_DECODER_NOT_INITED = 0x100,
+  VIDEO_DECODER_INVALID_PARAM = 0x101,
+  VIDEO_DECODER_UNSUPPORTED = 0x102,
+} MtpuDecoderRetCode;
 
 typedef struct MtpuVideoEncoder MtpuVideoEncoder; /* opaque */
 
@@ -53,6 +81,34 @@ MtpuEncoderRetCode EncodeOneFrame(MtpuVideoEncoder* enc, const uint8_t* in,
                                   uint32_t* out_len);
 MtpuEncoderRetCode StopEncoder(MtpuVideoEncoder* enc);
 MtpuEncoderRetCode ResetEncoder(MtpuVideoEncoder* enc);
+
+/* ------------------------- decoder half -----------------------------------
+ * Mirrors the reference decoder factories + lifecycle
+ * (video_decoder/include/VideoDecoder.h:83-210) flattened to C functions. */
+
+typedef struct MtpuVideoDecoder MtpuVideoDecoder; /* opaque */
+
+MtpuVideoDecoder* CreateVideoDecoder(void);
+MtpuDecoderRetCode DestroyVideoDecoder(MtpuVideoDecoder* dec);
+
+/* codec_format: 0 = H.264 (VideoDecoder.h CreateDecoder). */
+MtpuDecoderRetCode MtpuCreateDecoder(MtpuVideoDecoder* dec,
+                                     uint32_t codec_format);
+MtpuDecoderRetCode InitDecoder(MtpuVideoDecoder* dec);
+MtpuDecoderRetCode SetDecodeParams(MtpuVideoDecoder* dec, uint32_t width,
+                                   uint32_t height, uint32_t pixel_format);
+MtpuDecoderRetCode StartDecoder(MtpuVideoDecoder* dec);
+/* len == 0 marks end of stream (reference SendStreamData semantics). */
+MtpuDecoderRetCode SendStreamData(MtpuVideoDecoder* dec, const uint8_t* buf,
+                                  uint32_t len);
+/* Copies the next decoded I420 frame into dst; *filled receives the byte
+ * count. READ_UNDERFLOW when no frame is ready, EOS past the last frame,
+ * BAD_PIC_SIZE + geometry adoption on resolution change. */
+MtpuDecoderRetCode RetrieveFrameData(MtpuVideoDecoder* dec, uint8_t* dst,
+                                     uint32_t max_len, uint32_t* filled,
+                                     uint32_t* width, uint32_t* height);
+MtpuDecoderRetCode FlushDecoder(MtpuVideoDecoder* dec);
+MtpuDecoderRetCode StopDecoder(MtpuVideoDecoder* dec);
 
 #ifdef __cplusplus
 }

@@ -68,9 +68,11 @@ class VideoEncoder:
             return EncoderRetCode.VIDEO_ENCODER_NOT_INITED, b""
         p = self._params
         if len(data) < p.width * p.height * 3 // 2:
+            # Reference: short input is an encode failure, not a param error
+            # (VideoEncoderOpenH264.cpp:307-310).
             log.err("input size %d < frame size %d", len(data),
                     p.width * p.height * 3 // 2)
-            return EncoderRetCode.VIDEO_ENCODER_INVALID_PARAM, b""
+            return EncoderRetCode.VIDEO_ENCODER_ENCODE_FAIL, b""
 
         # Per-frame reconfiguration poll (the reference polls properties every
         # frame: VideoEncoderOpenH264.cpp:312-341).

@@ -59,7 +59,9 @@ class TestEncoderLifecycle:
         enc.init_encoder()
         enc.start_encoder()
         code, _ = enc.encode_one_frame(b"\x00" * 10)
-        assert code == EncoderRetCode.VIDEO_ENCODER_INVALID_PARAM
+        # Reference contract: VIDEO_ENCODER_ENCODE_FAIL (0x04) on short input
+        # (VideoEncoderOpenH264.cpp:307-310).
+        assert code == EncoderRetCode.VIDEO_ENCODER_ENCODE_FAIL
 
     def test_force_keyframe_poll(self):
         store = small_store()
@@ -228,3 +230,34 @@ class TestDecoderLifecycle:
         )
         assert dec.send_stream_data(idr_only + b"\x00\x00\x00\x01") == DecoderRetCode.VIDEO_DECODER_SUCCESS
         assert dec.retrieve_frame_data()[0] == DecoderRetCode.VIDEO_DECODER_SUCCESS
+
+
+def test_ret_code_values_match_reference():
+    """Value-exact with the reference headers: VideoCodecApi.h:8-20 and
+    VideoDecoder.h:10-26."""
+    from media_tpu.api.errors import DecoderRetCode, EncoderRetCode
+
+    E = EncoderRetCode
+    assert [int(x) for x in (
+        E.VIDEO_ENCODER_SUCCESS, E.VIDEO_ENCODER_CREATE_FAIL,
+        E.VIDEO_ENCODER_INIT_FAIL, E.VIDEO_ENCODER_START_FAIL,
+        E.VIDEO_ENCODER_ENCODE_FAIL, E.VIDEO_ENCODER_STOP_FAIL,
+        E.VIDEO_ENCODER_DESTROY_FAIL, E.VIDEO_ENCODER_REGISTER_FAIL,
+        E.VIDEO_ENCODER_RESET_FAIL, E.VIDEO_ENCODER_FORCE_KEY_FRAME_FAIL,
+        E.VIDEO_ENCODER_SET_ENCODE_PARAMS_FAIL,
+    )] == list(range(0x0B))
+    D = DecoderRetCode
+    assert [int(x) for x in (
+        D.VIDEO_DECODER_SUCCESS, D.VIDEO_DECODER_CREATE_FAIL,
+        D.VIDEO_DECODER_INIT_FAIL, D.VIDEO_DECODER_START_FAIL,
+        D.VIDEO_DECODER_DECODE_FAIL, D.VIDEO_DECODER_STOP_FAIL,
+        D.VIDEO_DECODER_DESTROY_FAIL, D.VIDEO_DECODER_RESET_FAIL,
+        D.VIDEO_DECODER_GET_DECODE_PARAMS_FAIL,
+        D.VIDEO_DECODER_SET_DECODE_PARAMS_FAIL,
+        D.VIDEO_DECODER_SET_FUNC_FAIL, D.VIDEO_DECODER_WRITE_OVERFLOW,
+        D.VIDEO_DECODER_READ_UNDERFLOW, D.VIDEO_DECODER_BAD_PIC_SIZE,
+        D.VIDEO_DECODER_EOS,
+    )] == list(range(15))
+    # Framework extensions live outside the reference value space.
+    assert int(E.VIDEO_ENCODER_NOT_INITED) >= 0x100
+    assert int(D.VIDEO_DECODER_NOT_INITED) >= 0x100

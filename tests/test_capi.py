@@ -59,8 +59,73 @@ def test_c_abi_lifecycle_roundtrip():
         frames = dec.decode_annexb(data)
         assert len(frames) == 1
 
-    # Guards: short input must return INVALID_PARAM (0x09).
+    # Guards: short input must return ENCODE_FAIL (0x04), the reference's
+    # contract (VideoEncoderOpenH264.cpp:307-310).
     code = lib.EncodeOneFrame(enc, b"xx", 2, ctypes.byref(out_ptr), ctypes.byref(out_len))
-    assert code == 0x09
+    assert code == 0x04
     assert lib.StopEncoder(enc) == 0
     assert lib.DestroyVideoEncoder(enc) == 0
+
+
+def test_c_abi_decoder_loop():
+    """Decoder C ABI: Create/Init/SetParams/Start -> Send/Retrieve loop with
+    the reference's backpressure + EOS codes, driven end-to-end against AUs
+    from the encoder half."""
+    lib = _lib()
+    lib.CreateVideoDecoder.restype = ctypes.c_void_p
+    lib.DestroyVideoDecoder.argtypes = [ctypes.c_void_p]
+    lib.MtpuCreateDecoder.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.InitDecoder.argtypes = [ctypes.c_void_p]
+    lib.SetDecodeParams.argtypes = [ctypes.c_void_p] + [ctypes.c_uint32] * 3
+    lib.StartDecoder.argtypes = [ctypes.c_void_p]
+    lib.StopDecoder.argtypes = [ctypes.c_void_p]
+    lib.SendStreamData.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32]
+    lib.RetrieveFrameData.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+
+    w, h = 64, 48
+    from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
+
+    sess = EncoderSession(EncoderConfig(width=w, height=h, qp=30, gop_size=4))
+    rng = np.random.default_rng(1)
+    aus = []
+    for t in range(3):
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        aus.append(sess.encode_frame(yuv.pack_i420(y, u, v)))
+
+    dec = lib.CreateVideoDecoder()
+    assert dec
+    assert lib.MtpuCreateDecoder(dec, 0) == 0
+    assert lib.InitDecoder(dec) == 0
+    assert lib.SetDecodeParams(dec, w, h, 0) == 0
+    assert lib.StartDecoder(dec) == 0
+
+    filled = ctypes.c_uint32()
+    ow = ctypes.c_uint32()
+    oh = ctypes.c_uint32()
+    buf = ctypes.create_string_buffer(w * h * 3 // 2)
+    # Underflow before any data (reference READ_UNDERFLOW == 12).
+    assert lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                 ctypes.byref(ow), ctypes.byref(oh)) == 12
+
+    got = 0
+    stream = b"".join(aus) + b"\x00\x00\x01\x0c"  # trailing end-of-stream NAL
+    assert lib.SendStreamData(dec, stream, len(stream)) == 0
+    assert lib.SendStreamData(dec, b"", 0) == 0  # len==0: EOS marker
+    while True:
+        code = lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                     ctypes.byref(ow), ctypes.byref(oh))
+        if code == 14:  # VIDEO_DECODER_EOS
+            break
+        assert code == 0, code
+        assert (ow.value, oh.value) == (w, h)
+        assert filled.value == w * h * 3 // 2
+        got += 1
+    assert got == 3
+    assert lib.StopDecoder(dec) == 0
+    assert lib.DestroyVideoDecoder(dec) == 0

@@ -31,6 +31,48 @@ def make_tile_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("tile",))
 
 
+class DevicePool:
+    """Load-aware session placement over the local devices — the analog of
+    the reference's shared-memory device pool with least-load auto-allocation
+    (ni_rsrc_allocate_auto, EN_ALLOC_LEAST_LOAD, vendor/netint/
+    ni_rsrc_api.h:57-61,343-348) and its pixel-rate load model
+    (`xcode_load_pixel`, ni_rsrc_api.h:106).
+
+    Load unit: pixels/second of admitted work (width*height*fps per
+    session). allocate() returns the n least-loaded devices for a new
+    session; release() returns the capacity.
+    """
+
+    def __init__(self, devices=None):
+        self._devices = list(devices if devices is not None else jax.devices())
+        self._load = {i: 0 for i in range(len(self._devices))}
+        self._sessions: dict[int, tuple] = {}
+        self._next_id = 0
+
+    def loads(self) -> list[int]:
+        return [self._load[i] for i in range(len(self._devices))]
+
+    def allocate(self, width: int, height: int, fps: int = 30,
+                 n_devices: int = 1):
+        """Least-load placement: returns (session_id, [devices])."""
+        if n_devices > len(self._devices):
+            raise ValueError("not enough devices in the pool")
+        per_dev = (width * height * fps) // n_devices
+        order = sorted(range(len(self._devices)), key=lambda i: self._load[i])
+        chosen = sorted(order[:n_devices])  # mesh order stays stable
+        for i in chosen:
+            self._load[i] += per_dev
+        sid = self._next_id
+        self._next_id += 1
+        self._sessions[sid] = (tuple(chosen), per_dev)
+        return sid, [self._devices[i] for i in chosen]
+
+    def release(self, session_id: int) -> None:
+        chosen, per_dev = self._sessions.pop(session_id)
+        for i in chosen:
+            self._load[i] -= per_dev
+
+
 def _halo_exchange_rows(local, halo: int, axis_name: str):
     """Exchange `halo` boundary rows with ring neighbors along `axis_name`.
 

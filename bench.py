@@ -83,6 +83,30 @@ def main():
     fps = n / elapsed
 
     psnr = yuv.psnr(np.asarray(sess.recon[0])[:h, :w], frames[2 * n][0])
+
+    # RD sweep: rate/PSNR at three operating points (QP is a traced scalar,
+    # so no recompile per point). Written next to the bench JSON so quality
+    # is tracked per round, not just one point (RD.json).
+    try:
+        rd = []
+        for qp_i in (24, 30, 36):
+            # Reuse the warm session's compiled executables: QP is traced, so
+            # changing it costs nothing; a forced IDR starts the new point.
+            sess.cfg.qp = qp_i
+            sess.force_keyframe()
+            aus2 = [sess.encode_frame(yuv.pack_i420(*frames[0]))]
+            aus2 += sess.encode_frames(
+                [yuv.pack_i420(y, u, v) for y, u, v in frames[1:9]])
+            p = yuv.psnr(np.asarray(sess.recon[0])[:h, :w], frames[8][0])
+            bits = sum(len(a) for a in aus2[1:]) * 8 / 8  # P-frame avg
+            rd.append({"qp": qp_i, "p_bits_per_frame": int(bits),
+                       "psnr_last_frame_db": round(float(p), 2)})
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "RD.json"), "w") as f:
+            json.dump({"resolution": f"{w}x{h}", "points": rd}, f, indent=1)
+    except Exception as e:  # the RD artifact must never break the bench line
+        print(f"# RD sweep skipped: {e}", flush=True)
+
     print(
         json.dumps(
             {

@@ -33,6 +33,26 @@ if "jax" in sys.modules:  # a sitecustomize already imported + configured jax
     except Exception:
         pass
 
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of XLA CPU programs; keeping them all loaded
+    in one process can crash the compiler late in the run (observed SIGSEGV
+    inside backend_compile_and_load after ~150 tests). The persistent
+    compilation cache (conftest header) keeps recompiles cheap."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
+
+
 _exit_status = [0]
 
 

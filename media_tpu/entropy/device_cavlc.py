@@ -535,8 +535,12 @@ def _se_split(x):
     return _ue_split(jnp.where(x > 0, 2 * x - 1, -2 * x))
 
 
-def _encode_headers(meta, R, C):
-    """Stage 2b: per-MB header codeword slots -> packed bit buffers."""
+def _encode_headers(meta, R, C, qp_map=None, slice_qp=None):
+    """Stage 2b: per-MB header codeword slots -> packed bit buffers.
+
+    qp_map: optional (R, C) per-MB QP — mb_qp_delta is then coded on every
+    cbp != 0 MB against the running QP (associative "last coded QP" scan,
+    no sequential host loop)."""
     n = R * C
     active = (~meta["is_skip"].reshape(-1)).astype(jnp.int32)
     skip_run = meta["skip_run"].reshape(-1)
@@ -554,8 +558,24 @@ def _encode_headers(meta, R, C):
         *_ue_split(cbp_code),
     ]:
         slots.append((v, l * active))
-    # mb_qp_delta: se(0) == single '1' bit, only when cbp != 0.
-    slots.append((jnp.ones_like(skip_run), (cbp > 0).astype(jnp.int32) * active))
+    delta_active = (cbp > 0).astype(jnp.int32) * active
+    if qp_map is None:
+        # mb_qp_delta: se(0) == single '1' bit, only when cbp != 0.
+        slots.append((jnp.ones_like(skip_run), delta_active))
+    else:
+        qp_flat = qp_map.reshape(-1).astype(jnp.int32)
+        coded = delta_active > 0
+        vals_v = jnp.where(coded, qp_flat, -1)
+        incl = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b >= 0, b, a), vals_v)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), incl[:-1]])
+        prev = jnp.where(prev >= 0, prev, jnp.asarray(slice_qp, jnp.int32))
+        delta = qp_flat - prev
+        # mod-52 wrap into the normative [-26, 25] window
+        delta = jnp.where(delta > 25, delta - 52,
+                          jnp.where(delta < -26, delta + 52, delta))
+        for (v, l) in _se_split(delta):
+            slots.append((v, l * delta_active))
 
     vals = jnp.stack([v.astype(jnp.uint32) for v, _ in slots], axis=1)
     lens = jnp.stack([l for _, l in slots], axis=1)
@@ -563,13 +583,14 @@ def _encode_headers(meta, R, C):
 
 
 def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
-                       out_words: int):
+                       out_words: int, qp_map=None, slice_qp=None):
     """Full on-device P-slice packer.
 
-    Inputs are the (R, C, ...) symbol tensors. Returns (stream_words
-    (out_words,) uint32 — slice_data bits MSB-first from bit 0 — and
-    total_bits () int32; total_bits > out_words*32 signals overflow and the
-    caller must fall back to host packing).
+    Inputs are the (R, C, ...) symbol tensors. qp_map/slice_qp select per-MB
+    QP coding (see _encode_headers). Returns (stream_words (out_words,)
+    uint32 — slice_data bits MSB-first from bit 0 — and total_bits () int32;
+    total_bits > out_words*32 signals overflow and the caller must fall back
+    to host packing).
     """
     R, C = mv.shape[:2]
     n = R * C
@@ -618,7 +639,7 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     ab = jnp.where(cac_inc, ab, 0)
 
     # --- headers + trailing skip-run chunk
-    hw, hb = _encode_headers(meta, R, C)
+    hw, hb = _encode_headers(meta, R, C, qp_map=qp_map, slice_qp=slice_qp)
     t_active = (meta["trailing_run"] > 0).astype(jnp.int32)[None]
     (tz_v, tz_l), (tc_v, tc_l) = _ue_split(meta["trailing_run"][None])
     tw, tb = _pack_codes(

@@ -159,17 +159,36 @@ def hadamard_2x2(x):
 # --- Quantization ------------------------------------------------------------
 
 
+def _qp_broadcast(qp, w):
+    """Align a scalar or per-batch (N,) QP with blocks w (N, ..., 4, 4).
+
+    Returns (qp_e, table_shape_fn): qp_e broadcasts against w elementwise;
+    table_shape_fn(t) reshapes a (N, 4, 4) table lookup to broadcast too."""
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        return qp, lambda t: t
+    n = qp.shape[0]
+    qp_e = qp.reshape((n,) + (1,) * (w.ndim - 1))
+    mid = (1,) * (w.ndim - 3)
+
+    def shape_table(t):  # (n, 4, 4) -> (n, 1..., 4, 4)
+        return t.reshape((n,) + mid + (4, 4))
+
+    return qp_e, shape_table
+
+
 def quant_4x4(w, qp, *, intra: bool, dc_only_table: bool = False):
     """Forward quantization (JM reference method, produces spec-decodable levels).
 
     w: int32 (..., 4, 4) transform coefficients.
-    qp: scalar or broadcastable int — the effective QP for these blocks.
+    qp: scalar, or (N,) for per-MB QP where N == w.shape[0] (adaptive
+    quantization / per-MB rate control).
     dc_only_table: use MF position (0,0) for every coefficient (DC transforms).
     """
     w = jnp.asarray(w, jnp.int32)
-    qp = jnp.asarray(qp, jnp.int32)
-    qbits = 15 + qp // 6
-    mf_all = jnp.asarray(MF_4x4)[qp % 6]  # (..., 4, 4) via qp broadcast
+    qp_e, shape_table = _qp_broadcast(qp, w)
+    qbits = 15 + qp_e // 6
+    mf_all = shape_table(jnp.asarray(MF_4x4)[jnp.asarray(qp, jnp.int32) % 6])
     if dc_only_table:
         mf = mf_all[..., 0:1, 0:1]
     else:
@@ -206,9 +225,10 @@ def quant_dc_4x4(w_dc, qp, *, intra: bool = True):
 def quant_dc_2x2(w_dc, qp, *, intra: bool):
     """Quantize chroma DC after the 2x2 transform: (|W|*MF0 + 2f) >> (qbits+1)."""
     w = jnp.asarray(w_dc, jnp.int32)
-    qp = jnp.asarray(qp, jnp.int32)
-    qbits = 15 + qp // 6
-    mf0 = jnp.asarray(MF_4x4)[qp % 6][..., 0:1, 0:1]
+    qp_e, shape_table = _qp_broadcast(qp, w)
+    qbits = 15 + qp_e // 6
+    mf0 = shape_table(
+        jnp.asarray(MF_4x4)[jnp.asarray(qp, jnp.int32) % 6])[..., 0:1, 0:1]
     f = ((1 << qbits) // (3 if intra else 6))
     wa = jnp.abs(w)
     level = ((wa * mf0 + 2 * f) >> (qbits + 1)).astype(jnp.int32)
@@ -219,11 +239,12 @@ def dequant_4x4(z, qp):
     """Dequantize 4x4 AC/residual levels: d = z * V(qp%6, pos) << (qp/6).
 
     Bit-exact with spec 8.5.12.1 under flat scaling lists for all QP.
+    qp: scalar or per-batch (N,) (see quant_4x4).
     """
     z = jnp.asarray(z, jnp.int32)
-    qp = jnp.asarray(qp, jnp.int32)
-    v = jnp.asarray(V_4x4)[qp % 6]
-    return (z * v) << (qp // 6)
+    qp_e, shape_table = _qp_broadcast(qp, z)
+    v = shape_table(jnp.asarray(V_4x4)[jnp.asarray(qp, jnp.int32) % 6])
+    return (z * v) << (qp_e // 6)
 
 
 def dequant_dc_4x4(f_dc, qp):
@@ -242,11 +263,12 @@ def dequant_dc_4x4(f_dc, qp):
 
 def dequant_dc_2x2(f_dc, qp):
     """Dequantize chroma DC after the decoder-side 2x2 transform (spec 8.5.11):
-    ((f * 16*V0) << (qp/6)) >> 5."""
+    ((f * 16*V0) << (qp/6)) >> 5. qp: scalar or per-batch (N,)."""
     f = jnp.asarray(f_dc, jnp.int32)
-    qp = jnp.asarray(qp, jnp.int32)
-    v0 = jnp.asarray(V_4x4)[qp % 6][..., 0:1, 0:1]
-    return ((f * 16 * v0) << (qp // 6)) >> 5
+    qp_e, shape_table = _qp_broadcast(qp, f)
+    v0 = shape_table(
+        jnp.asarray(V_4x4)[jnp.asarray(qp, jnp.int32) % 6])[..., 0:1, 0:1]
+    return ((f * 16 * v0) << (qp_e // 6)) >> 5
 
 
 # --- Zig-zag -----------------------------------------------------------------

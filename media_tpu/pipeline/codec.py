@@ -62,7 +62,12 @@ class EncoderConfig:
     # CABAC entropy coding (spec 9.3; the reference's actual operating point:
     # VideoEncoderOpenH264.cpp:291 sets iEntropyCodingModeFlag = 1). Forces
     # main profile and host-side entropy packing; see entropy/cabac_*.py.
+    # Supported with rc_mode="cq" today.
     cabac: bool = False
+    # Per-MB QP modulation (mb_qp_delta) under CBR: realizes fractional QP,
+    # tightening rate granularity from one QP step (~12% bits) to ~1%.
+    # Requires deblock=False until the filter does per-edge QP averaging.
+    adaptive_qp: bool = False
 
 
 class EncoderSession:
@@ -81,6 +86,12 @@ class EncoderSession:
             self.sps.profile_idc = max(self.sps.profile_idc,
                                        PROFILE_BY_NAME["main"])
             self.pps.entropy_coding_mode = 1
+            if cfg.rc_mode != "cq":
+                raise ValueError("cabac=True currently requires rc_mode='cq'")
+        if cfg.adaptive_qp and cfg.deblock:
+            raise ValueError("adaptive_qp=True requires deblock=False "
+                             "(per-edge QP averaging in the deblocking "
+                             "filter is not implemented yet)")
         pad_w = self.sps.pic_width_in_mbs * 16
         pad_h = self.sps.pic_height_in_mbs * 16
         n_rows = self.sps.pic_height_in_mbs
@@ -264,7 +275,7 @@ class EncoderSession:
         enc = self._frame_encoder
         streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
             ys, us, vs, *self.recon, self.rc_state, int(self._rc_target),
-            deblock=cfg.deblock,
+            deblock=cfg.deblock, adaptive_qp=cfg.adaptive_qp,
         )
         out = []
         if len(self.slice_rows) == 1 and int(bits.max()) <= enc.cap_words * 32:

@@ -52,13 +52,16 @@ class UnsupportedStream(Exception):
 # ------------------------------------------------------------- host parsing
 
 
-def parse_pslice_symbols(br: BitReader, R: int, C: int):
+def parse_pslice_symbols(br: BitReader, R: int, C: int, slice_qp: int = 26):
     """CAVLC P-slice symbol parse (no reconstruction): the inverse of
-    pipeline/slice_coder.write_pslice_mbs."""
+    pipeline/slice_coder.write_pslice_mbs. Tracks mb_qp_delta into a per-MB
+    QP map (adaptive-quantization streams)."""
     mv = np.zeros((R, C, 2), np.int32)
     luma = np.zeros((R, C, 16, 16), np.int32)
     cdc = np.zeros((R, C, 2, 4), np.int32)
     cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    qp_map = np.full((R, C), slice_qp, np.int32)
+    cur_qp = int(slice_qp)
     luma_nnz = np.zeros((R * 4, C * 4), np.int32)
     chroma_nnz = np.zeros((2, R * 2, C * 2), np.int32)
     mv_map: dict = {}
@@ -98,8 +101,9 @@ def parse_pslice_symbols(br: BitReader, R: int, C: int):
         mv_map[(r, c)] = this
         cbp = int(CBP_TABLE[br.ue()][1])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        if cbp and br.se():
-            raise UnsupportedStream("mb_qp_delta != 0")
+        if cbp:
+            cur_qp = (cur_qp + br.se() + 52) % 52
+        qp_map[r, c] = cur_qp
         for g8 in range(4):
             blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
             if not (cbp_luma >> g8) & 1:
@@ -127,7 +131,7 @@ def parse_pslice_symbols(br: BitReader, R: int, C: int):
             chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
         idx += 1
     return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
-            "cac_levels": cac}
+            "cac_levels": cac, "qp_map": qp_map}
 
 
 # -------------------------------------------------------- device P recon
@@ -182,10 +186,17 @@ def _chroma_recon(pred_c, cdc_c, cac_c, qp_c):
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 8))
 def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
-                         mv, luma, symbols_cdc_cac, deblock: bool, qp):
+                         mv, luma, symbols_cdc_cac, deblock: bool, qp,
+                         qp_map=None):
+    """qp: slice QP (drives deblocking); qp_map: optional (R, C) per-MB QP
+    for the residual dequant (mb_qp_delta streams, deblock off)."""
     cdc, cac = symbols_cdc_cac
     n = R * C
     qp_c = jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
+    qp_res = qp if qp_map is None else qp_map.reshape(n)
+    qp_c_res = (qp_c if qp_map is None
+                else jnp.asarray(T.CHROMA_QP_TABLE)[
+                    jnp.clip(qp_map.reshape(n), 0, 51)])
     mvf = mv.reshape(n, 2)
     pred_y = _luma_mc_device(jnp.asarray(ref_y, jnp.int32), mvf, R, C)
     halo_c = MV_RANGE // 2 + 2
@@ -197,12 +208,12 @@ def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
     pred_v = mc_chroma_ext(rv_ext, mvf, R, C, halo_c)
 
     z = T.inverse_zigzag(luma.reshape(n, 16, 16))
-    res = _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp)))
+    res = _blocks_mb(T.inverse_4x4(T.dequant_4x4(z, qp_res)))
     recon = jnp.clip(pred_y + res, 0, 255)
     rec_u = _chroma_recon(pred_u, cdc.reshape(n, 2, 4)[:, 0],
-                          cac.reshape(n, 2, 4, 15)[:, 0], qp_c)
+                          cac.reshape(n, 2, 4, 15)[:, 0], qp_c_res)
     rec_v = _chroma_recon(pred_v, cdc.reshape(n, 2, 4)[:, 1],
-                          cac.reshape(n, 2, 4, 15)[:, 1], qp_c)
+                          cac.reshape(n, 2, 4, 15)[:, 1], qp_c_res)
 
     def plane(x, size):
         return (x.reshape(R, C, size, size).transpose(0, 2, 1, 3)
@@ -382,16 +393,22 @@ class TpuDecoder:
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
                 sym = parse_pslice_cabac(rbsp, pos, R, C, qp)
+                sym["qp_map"] = np.full((R, C), qp, np.int32)
             else:
-                sym = parse_pslice_symbols(br, R, C)
+                sym = parse_pslice_symbols(br, R, C, slice_qp=qp)
             if np.abs(sym["mv"] >> 2).max() > MV_RANGE - 2:
                 raise UnsupportedStream("MV beyond the device MC window")
+            qp_varies = bool((sym["qp_map"] != qp).any())
+            if qp_varies and deblock:
+                raise UnsupportedStream(
+                    "per-MB QP with deblocking (per-edge qp averaging)")
             ry, ru, rv = _recon_pframe_device(
                 R, C, *self.ref_planes,
                 jnp.asarray(sym["mv"]), jnp.asarray(sym["luma_levels"]),
                 (jnp.asarray(sym["cdc_levels"]),
                  jnp.asarray(sym["cac_levels"])),
-                deblock, jnp.int32(qp))
+                deblock, jnp.int32(qp),
+                jnp.asarray(sym["qp_map"]) if qp_varies else None)
         else:
             if pps.entropy_coding_mode:
                 from ..entropy.cabac_slice import parse_islice_cabac

@@ -519,7 +519,8 @@ class FrameEncoder:
     def encode_pframes_cbr(self, ys, us, vs, ref_y, ref_u, ref_v,
                            rc_state: dict, target_bits_per_frame: int,
                            qp_min: int = 12, qp_max: int = 44,
-                           search_range: int = 8, deblock: bool = False):
+                           search_range: int = 8, deblock: bool = False,
+                           adaptive_qp: bool = False):
         """Encode K P frames with on-device CBR rate control.
 
         The device packer reports each frame's EXACT bit count, so the
@@ -527,14 +528,25 @@ class FrameEncoder:
         runs inside the device scan with no host round trips. rc_state carries
         {"qp": float, "buf": float, "cplx": float} across calls.
 
+        adaptive_qp: per-MB QP modulation (mb_qp_delta) realizes the
+        FRACTIONAL part of the rate controller's ideal QP — a deterministic
+        dither assigns floor(qp)+1 to that fraction of macroblocks — which
+        tightens the rate granularity from one full QP step (~12% bits) to
+        ~1%. Requires deblock=False until the filter supports per-edge QP
+        averaging.
+
         Returns (streams, bits, qps, recon, new_rc_state).
         """
+        if adaptive_qp and deblock:
+            raise ValueError("adaptive_qp requires deblock=False (per-edge "
+                             "QP averaging in the filter is not implemented)")
         streams, bits, qps, recon, new_state = self._encode_pbatch_cbr_device(
             jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
             jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
             jnp.float32(rc_state["cplx"]),
-            float(target_bits_per_frame), qp_min, qp_max, search_range, deblock,
+            float(target_bits_per_frame), qp_min, qp_max, search_range,
+            deblock, adaptive_qp,
         )
         out_state = {
             "qp": float(new_state[0]),
@@ -544,11 +556,12 @@ class FrameEncoder:
         return (np.asarray(streams), np.asarray(bits), np.asarray(qps),
                 recon, out_state)
 
-    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14))
+    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14, 15))
     def _encode_pbatch_cbr_device(self, ys, us, vs, ref_y, ref_u, ref_v,
                                   qp0, buf0, cplx0,
                                   target: float, qp_min: int, qp_max: int,
-                                  search_range: int, deblock: bool = False):
+                                  search_range: int, deblock: bool = False,
+                                  adaptive_qp: bool = False):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import (
             INTERP_HALO, chroma_qp_device, local_pframe_core,
@@ -563,14 +576,33 @@ class FrameEncoder:
         def qstep(qp):
             return 0.625 * jnp.exp2(qp / 6.0)
 
+        n_mb = self.n_rows * self.n_cols
+
         def step(carry, frame):
             ry, ru, rv, qp_f, buf, cplx = carry
             # Virtual-buffer drain: aim below target when the buffer is full.
             adj_target = jnp.maximum(target - 0.35 * buf, 0.25 * target)
             want_qstep = jnp.clip(cplx / adj_target, 0.625, 1024.0)
-            qp_f = 6.0 * jnp.log2(want_qstep / 0.625)
-            qp = jnp.clip(jnp.round(qp_f), qp_min, qp_max).astype(jnp.int32)
-            qp_c = chroma_qp_device(qp)
+            qp_f = jnp.clip(6.0 * jnp.log2(want_qstep / 0.625),
+                            float(qp_min), float(qp_max))
+            if adaptive_qp:
+                # Fractional QP via per-MB dither: floor(qp)+1 on a `frac`
+                # share of MBs (deterministic stride-97 spread), tightening
+                # the rate granularity from one QP step (~12% bits) to ~1%.
+                qp = jnp.floor(qp_f).astype(jnp.int32)
+                frac = qp_f - qp.astype(jnp.float32)
+                thresh = ((jnp.arange(n_mb, dtype=jnp.int32) * 97) % 128
+                          ).astype(jnp.float32) / 128.0
+                qp_map = jnp.clip(qp + (thresh < frac).astype(jnp.int32),
+                                  qp_min, qp_max)
+                qp_enc = qp_map
+                qp_c_enc = chroma_qp_device(qp_map)
+                qp_c = chroma_qp_device(qp)
+            else:
+                qp = jnp.clip(jnp.round(qp_f), qp_min, qp_max).astype(jnp.int32)
+                qp_c = chroma_qp_device(qp)
+                qp_enc, qp_c_enc = qp, qp_c
+                qp_map = None
 
             ry_ext = jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
             ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
@@ -578,10 +610,15 @@ class FrameEncoder:
             y, u, v = frame
             out = local_pframe_core(
                 y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
-                ry_ext, ru_ext, rv_ext, qp, qp_c, rs, self.n_rows, self.n_cols,
+                ry_ext, ru_ext, rv_ext, qp_enc, qp_c_enc, rs,
+                self.n_rows, self.n_cols,
             )
             mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
-            stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap)
+            stream, bits = pack_pslice_device(
+                mv, luma, cdc, cac, cap,
+                qp_map=(None if qp_map is None
+                        else qp_map.reshape(self.n_rows, self.n_cols)),
+                slice_qp=qp)
             rdy, rdu, rdv = out["recon_y"], out["recon_u"], out["recon_v"]
             if deblock:
                 from .deblock_apply import deblock_pframe_from_symbols
@@ -591,9 +628,9 @@ class FrameEncoder:
                     self.n_rows, self.n_cols, self.deblock_slice_starts)
             bits_f = bits.astype(jnp.float32)
             # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
-            cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp.astype(jnp.float32))
+            cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp_f)
             buf = buf + bits_f - target
-            new_carry = (rdy, rdu, rdv, qp.astype(jnp.float32), buf, cplx)
+            new_carry = (rdy, rdu, rdv, qp_f, buf, cplx)
             return new_carry, (stream, bits, qp)
 
         init = (

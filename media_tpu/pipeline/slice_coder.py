@@ -211,12 +211,18 @@ def write_pslice_mbs(
     luma_levels: np.ndarray,
     cdc_levels: np.ndarray,
     cac_levels: np.ndarray,
+    qp_map: np.ndarray | None = None,
+    slice_qp: int | None = None,
 ) -> dict:
     """Write all macroblocks of a P slice (P_L0_16x16 / P_Skip).
 
     mv: (R, C, 2) quarter-pel luma MVs; luma_levels: (R, C, 16, 16) zig-zag.
+    qp_map: optional (R, C) per-MB luma QP (adaptive quantization); deltas
+    vs the running QP (starting at slice_qp) are coded as mb_qp_delta on
+    every MB with cbp != 0. MBs without a coded delta keep the running QP.
     Returns stats (skip count) for rate control / perf logs.
     """
+    cur_qp = slice_qp
     from . import mv_pred
 
     n_rows, n_cols = mv.shape[:2]
@@ -260,7 +266,18 @@ def write_pslice_mbs(
             mv_map[(r, c)] = this_mv
             bw.ue(int(tables.CBP_TO_CODE_INTER[cbp]))
             if cbp:
-                bw.se(0)  # mb_qp_delta
+                if qp_map is None:
+                    bw.se(0)  # mb_qp_delta (fixed-QP slice)
+                else:
+                    want = int(qp_map[r, c])
+                    delta = want - cur_qp
+                    # mb_qp_delta range is [-26, +25] with mod-52 wrap
+                    if delta > 25:
+                        delta -= 52
+                    elif delta < -26:
+                        delta += 52
+                    bw.se(delta)
+                    cur_qp = want
             # Luma residual: 16-coeff blocks for coded 8x8 groups, z-scan order.
             for g8 in range(4):
                 blks = [ZSCAN_TO_RASTER[g8 * 4 + k] for k in range(4)]

@@ -172,6 +172,7 @@ class ReferenceDecoder:
         r0 = mb_idx // n_cols  # row-aligned slices
         asm["slice_starts"].append(r0)
         pred_mv = {}  # (r - r0, c) -> qpel MV, slice-local
+        qp_state = [qp, False]  # [running per-MB QP, any delta seen]
         start_idx = mb_idx
         while mb_idx < mb_count and (mb_idx == start_idx or br.more_rbsp_data()):
             if hdr.is_p:
@@ -192,8 +193,8 @@ class ReferenceDecoder:
                                      luma_nnz, chroma_nnz, n_cols, r0)
                 else:
                     self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
-                                     mb_type, qp, luma_nnz, chroma_nnz, n_cols,
-                                     pred_mv, r0, asm["mv_grid"])
+                                     mb_type, qp_state, luma_nnz, chroma_nnz,
+                                     n_cols, pred_mv, r0, asm["mv_grid"])
                 mb_idx += 1
             else:
                 r, c = divmod(mb_idx, n_cols)
@@ -208,6 +209,9 @@ class ReferenceDecoder:
 
         # Picture complete: deblock and emit.
         self._asm = None
+        if qp_state[1] and hdr.disable_deblocking_filter_idc != 1:
+            raise NotImplementedError(
+                "per-MB QP with in-loop deblocking (per-edge qp averaging)")
         if hdr.disable_deblocking_filter_idc != 1:
             from .deblock import (
                 deblock_frame_np, inter_bs_grids_np, intra_bs_grids_np)
@@ -529,8 +533,10 @@ class ReferenceDecoder:
         u[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_u, r, c, mvx, mvy)
         v[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_v, r, c, mvx, mvy)
 
-    def _decode_p16(self, br, y, u, v, ref_y, ref_u, ref_v, r, c, mb_type, qp,
-                    luma_nnz, chroma_nnz, n_cols, pred_mv, r0=0, mv_grid=None):
+    def _decode_p16(self, br, y, u, v, ref_y, ref_u, ref_v, r, c, mb_type,
+                    qp_state, luma_nnz, chroma_nnz, n_cols, pred_mv, r0=0,
+                    mv_grid=None):
+        qp = qp_state[0]
         if mb_type != 0:
             raise NotImplementedError(f"P mb_type {mb_type} (only P_L0_16x16)")
         mvdx = br.se()
@@ -555,7 +561,11 @@ class ReferenceDecoder:
         if cbp:
             qp_delta = br.se()
             if qp_delta:
-                raise NotImplementedError("mb_qp_delta != 0")
+                if not -26 <= qp_delta <= 25:
+                    raise ValueError(f"mb_qp_delta {qp_delta} out of range")
+                qp = (qp + qp_delta + 52) % 52
+                qp_state[0] = qp
+                qp_state[1] = True
         for g8 in range(4):  # 8x8 groups in z-scan
             if not (cbp_luma >> g8) & 1:
                 for k in range(4):

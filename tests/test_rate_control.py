@@ -72,3 +72,52 @@ def test_cbr_single_frame_path_matches_contract():
         f = dec.decode_annexb(au)[0]
         np.testing.assert_array_equal(f.y, np.asarray(sess.recon[0]))
     assert sess.frame_idx == 4
+
+
+@pytest.mark.parametrize("bitrate", [500_000, 1_000_000])
+def test_cbr_adaptive_qp_tight(bitrate):
+    """Per-MB QP modulation (mb_qp_delta) realizes fractional QP: the CBR
+    steady state tightens to +-15% of the per-frame target, and the stream
+    still decodes bit-exact (reference decoder tracks the running QP)."""
+    w, h, fps, n = 176, 144, 30, 24
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1000,
+                        rc_mode="cbr", bitrate=bitrate, framerate=fps,
+                        deblock=False, adaptive_qp=True)
+    sess = EncoderSession(cfg)
+    bufs = [yuv.pack_i420(*scene(w, h, t)) for t in range(n)]
+    aus = sess.encode_frames(bufs)
+    p_bits = sum(len(a) * 8 for a in aus[1:])
+    per_frame_target = bitrate / fps
+    avg_p = p_bits / (n - 1)
+    assert 0.85 * per_frame_target < avg_p < 1.15 * per_frame_target, (
+        bitrate, avg_p, per_frame_target)
+
+    dec = ReferenceDecoder()
+    frames = dec.decode_annexb(b"".join(aus))
+    assert len(frames) == n
+    np.testing.assert_array_equal(frames[-1].y, np.asarray(sess.recon[0]))
+    np.testing.assert_array_equal(frames[-1].u, np.asarray(sess.recon[1]))
+
+
+def test_adaptive_qp_requires_deblock_off():
+    with pytest.raises(ValueError):
+        EncoderSession(EncoderConfig(width=64, height=64, rc_mode="cbr",
+                                     adaptive_qp=True, deblock=True))
+
+
+def test_tpu_decoder_adaptive_qp_stream():
+    """The TPU decode path parses mb_qp_delta and dequantizes per MB."""
+    from media_tpu.pipeline.decoder_tpu import TpuDecoder
+
+    w, h = 176, 144
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1000,
+                        rc_mode="cbr", bitrate=600_000, framerate=30,
+                        deblock=False, adaptive_qp=True)
+    sess = EncoderSession(cfg)
+    bufs = [yuv.pack_i420(*scene(w, h, t)) for t in range(6)]
+    aus = sess.encode_frames(bufs)
+    dec = TpuDecoder()
+    for au in aus:
+        frames = dec.decode_annexb(au)
+    np.testing.assert_array_equal(frames[-1].y, np.asarray(sess.recon[0]))
+    np.testing.assert_array_equal(frames[-1].v, np.asarray(sess.recon[2]))

@@ -178,6 +178,125 @@ def mode_available_chroma(avail_top, avail_left):
     )
 
 
+# --- Luma 4x4 (spec 8.3.1.2): 9 modes -----------------------------------------
+
+I4_V, I4_H, I4_DC, I4_DDL, I4_DDR, I4_VR, I4_HD, I4_VL, I4_HU = range(9)
+
+
+def pred_4x4_all(top8, left4, corner, avail_top, avail_left, avail_tr):
+    """All nine 4x4 intra modes, batched.
+
+    top8: (N, 8) p[0..7, -1] — the caller must already have substituted
+    p[3,-1] into x=4..7 when the top-right is unavailable (spec 8.3.1.2
+    substitution; avail_tr only gates the *mode list*, not the samples).
+    left4: (N, 4) p[-1, 0..3]; corner: (N,) p[-1, -1].
+    avail_*: (N,) bool. Returns (preds (N, 9, 4, 4) int32, ok (N, 9) bool).
+    """
+    n = top8.shape[0]
+
+    def t(i):  # p[i, -1]
+        return top8[:, i]
+
+    def l(i):  # p[-1, i]
+        return left4[:, i]
+
+    def grid(fn):
+        rows = [jnp.stack([fn(x, y) for x in range(4)], axis=-1)
+                for y in range(4)]
+        return jnp.stack(rows, axis=-2)  # (N, 4, 4) [y][x]
+
+    p_v = grid(lambda x, y: t(x))
+    p_h = grid(lambda x, y: l(y))
+
+    sum_t = jnp.sum(top8[:, :4], axis=-1)
+    sum_l = jnp.sum(left4, axis=-1)
+    dc = jnp.where(
+        avail_top & avail_left, (sum_t + sum_l + 4) >> 3,
+        jnp.where(avail_top, (sum_t + 2) >> 2,
+                  jnp.where(avail_left, (sum_l + 2) >> 2, 128)))
+    p_dc = jnp.broadcast_to(dc[:, None, None], (n, 4, 4))
+
+    def ddl(x, y):
+        if x == 3 and y == 3:
+            return (t(6) + 3 * t(7) + 2) >> 2
+        return (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+
+    p_ddl = grid(ddl)
+
+    def ddr(x, y):
+        if x > y:
+            return (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
+        if x < y:
+            return (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
+        return (t(0) + 2 * corner + l(0) + 2) >> 2
+
+    p_ddr = grid(ddr)
+
+    def px(i):  # p[i, -1] with p[-1, -1] at i == -1
+        return corner if i == -1 else t(i)
+
+    def py(i):  # p[-1, i] with p[-1, -1] at i == -1
+        return corner if i == -1 else l(i)
+
+    def vr(x, y):
+        z = 2 * x - y
+        if z >= 0 and z % 2 == 0:
+            return (px(x - (y >> 1) - 1) + px(x - (y >> 1)) + 1) >> 1
+        if z >= 0:
+            return (px(x - (y >> 1) - 2) + 2 * px(x - (y >> 1) - 1)
+                    + px(x - (y >> 1)) + 2) >> 2
+        if z == -1:
+            return (l(0) + 2 * corner + t(0) + 2) >> 2
+        return (py(y - 2 * x - 1) + 2 * py(y - 2 * x - 2)
+                + py(y - 2 * x - 3) + 2) >> 2
+
+    p_vr = grid(vr)
+
+    def hd(x, y):
+        z = 2 * y - x
+        if z >= 0 and z % 2 == 0:
+            return (py(y - (x >> 1) - 1) + py(y - (x >> 1)) + 1) >> 1
+        if z >= 0:
+            return (py(y - (x >> 1) - 2) + 2 * py(y - (x >> 1) - 1)
+                    + py(y - (x >> 1)) + 2) >> 2
+        if z == -1:
+            return (l(0) + 2 * corner + t(0) + 2) >> 2
+        return (px(x - 2 * y - 1) + 2 * px(x - 2 * y - 2)
+                + px(x - 2 * y - 3) + 2) >> 2
+
+    p_hd = grid(hd)
+
+    def vl(x, y):
+        if y % 2 == 0:
+            return (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+        return (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1)
+                + t(x + (y >> 1) + 2) + 2) >> 2
+
+    p_vl = grid(vl)
+
+    def hu(x, y):
+        z = x + 2 * y
+        if z > 5:
+            return l(3)
+        if z == 5:
+            return (l(2) + 3 * l(3) + 2) >> 2
+        if z % 2 == 0:
+            return (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+        return (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1)
+                + l(y + (x >> 1) + 2) + 2) >> 2
+
+    p_hu = grid(hu)
+
+    preds = jnp.stack(
+        [p_v, p_h, p_dc, p_ddl, p_ddr, p_vr, p_hd, p_vl, p_hu], axis=1)
+    tl = avail_top & avail_left
+    ok = jnp.stack([
+        avail_top, avail_left, jnp.ones_like(avail_top),
+        avail_top, tl, tl, tl, avail_top, avail_left,
+    ], axis=-1)
+    return preds, ok
+
+
 def sad_cost(pred_modes, original):
     """SAD between each candidate mode and the original block.
 
@@ -185,3 +304,20 @@ def sad_cost(pred_modes, original):
     """
     diff = jnp.abs(pred_modes - original[:, None, :, :])
     return jnp.sum(diff, axis=(-1, -2))
+
+
+def satd_cost(pred_modes, original):
+    """SATD (4x4 Hadamard-transformed SAD): predicts coded bits much better
+    than plain SAD, so mode decisions trade prediction error against
+    transform compaction. H and W must be multiples of 4.
+
+    pred_modes: (N, M, H, W); original: (N, H, W) -> (N, M) int32.
+    """
+    from . import transform as T
+
+    res = pred_modes - original[:, None, :, :]
+    n, m, hh, ww = res.shape
+    blocks = (res.reshape(n, m, hh // 4, 4, ww // 4, 4)
+              .transpose(0, 1, 2, 4, 3, 5))
+    h = T.hadamard_4x4(blocks)
+    return (jnp.sum(jnp.abs(h), axis=(-1, -2, -3, -4)) >> 1).astype(jnp.int32)

@@ -64,6 +64,9 @@ class EncoderConfig:
     # main profile and host-side entropy packing; see entropy/cabac_*.py.
     # Supported with rc_mode="cq" today.
     cabac: bool = False
+    # I_4x4 intra prediction (9 directional modes, per-MB I4x4/I16 decision)
+    # in I frames — the biggest intra quality lever below 16x16 granularity.
+    i4x4: bool = False
     # Per-MB QP modulation (mb_qp_delta) under CBR: realizes fractional QP,
     # tightening rate granularity from one QP step (~12% bits) to ~1%.
     # Requires deblock=False until the filter does per-edge QP averaging.
@@ -403,7 +406,8 @@ class EncoderSession:
         else:
             qp_i = cfg.qp
         result = self._frame_encoder.encode_iframe(y, u, v, qp_i,
-                                                   deblock=cfg.deblock)
+                                                   deblock=cfg.deblock,
+                                                   i4x4=cfg.i4x4)
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         self.frame_idx_of_idr = self.frame_idx
 
@@ -436,11 +440,12 @@ class EncoderSession:
                                        bw.get_bytes() + payload,
                                        nal_ref_idc=3)
                 continue
-            if not native.write_islice_native(
+            use_native = result.is_i4 is None and native.write_islice_native(
                 bw, result.mode16[r0:r1], result.chroma_mode[r0:r1],
                 result.dc_levels[r0:r1], result.ac_levels[r0:r1],
                 result.cdc_levels[r0:r1], result.cac_levels[r0:r1],
-            ):
+            )
+            if not use_native:
                 slice_coder.write_islice_mbs(
                     bw,
                     mode16=result.mode16[r0:r1],
@@ -449,6 +454,10 @@ class EncoderSession:
                     ac_levels=result.ac_levels[r0:r1],
                     cdc_levels=result.cdc_levels[r0:r1],
                     cac_levels=result.cac_levels[r0:r1],
+                    is_i4=None if result.is_i4 is None else result.is_i4[r0:r1],
+                    modes4=None if result.modes4 is None else result.modes4[r0:r1],
+                    luma4_levels=(None if result.luma4_levels is None
+                                  else result.luma4_levels[r0:r1]),
                 )
                 bw.rbsp_trailing_bits()
             slice_nals += wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(), nal_ref_idc=3)

@@ -420,6 +420,9 @@ class TpuDecoder:
                 from .slice_coder import parse_islice_mbs
 
                 p = parse_islice_mbs(br, R, C, qp)
+                if p.is_i4 is not None and p.is_i4.any():
+                    raise UnsupportedStream(
+                        "I_4x4 reconstruction: use the reference decoder")
                 s = {"mode16": p.mode16, "chroma_mode": p.chroma_mode,
                      "dc_levels": p.dc_levels, "ac_levels": p.ac_levels,
                      "cdc_levels": p.cdc_levels, "cac_levels": p.cac_levels}

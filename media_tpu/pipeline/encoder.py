@@ -34,11 +34,15 @@ ZSCAN_TO_RASTER = np.array(
 )
 
 
-def _wave_indices(n_rows: int, n_cols: int):
+def _wave_indices(n_rows: int, n_cols: int, skew: int = 1):
     """Static wavefront membership: returns (n_waves, max_wave) row/col index
-    arrays and a validity mask. Wave k holds all MBs with r + c == k."""
-    n_waves = n_rows + n_cols - 1
-    max_wave = min(n_rows, n_cols)
+    arrays and a validity mask. Wave k holds all MBs with skew*r + c == k.
+
+    skew=1 satisfies left/top dependencies (I_16x16 intra); skew=2 also puts
+    the top-RIGHT MB in an earlier wave, which I_4x4 prediction requires
+    (block (0,3)'s above-right samples live in MB (r-1, c+1))."""
+    n_waves = skew * (n_rows - 1) + n_cols
+    max_wave = min(n_rows, (n_cols + skew - 1) // skew)
     # Invalid (padding) lanes point out of bounds so scatters with mode="drop"
     # discard them instead of clobbering MB (0,0).
     rows = np.full((n_waves, max_wave), n_rows, dtype=np.int32)
@@ -46,11 +50,13 @@ def _wave_indices(n_rows: int, n_cols: int):
     mask = np.zeros((n_waves, max_wave), dtype=bool)
     for k in range(n_waves):
         i = 0
-        for r in range(max(0, k - n_cols + 1), min(n_rows, k + 1)):
-            rows[k, i] = r
-            cols[k, i] = k - r
-            mask[k, i] = True
-            i += 1
+        for r in range(n_rows):
+            c = k - skew * r
+            if 0 <= c < n_cols:
+                rows[k, i] = r
+                cols[k, i] = c
+                mask[k, i] = True
+                i += 1
     return rows, cols, mask
 
 
@@ -111,6 +117,10 @@ class IFrameResult:
     recon_y: object  # jax.Array (R*16, C*16) uint8, device-resident
     recon_u: object  # jax.Array (R*8, C*8) uint8
     recon_v: object  # jax.Array (R*8, C*8) uint8
+    # I_4x4 fields (i4x4 mode decision enabled; None otherwise)
+    is_i4: np.ndarray | None = None  # (R, C) bool
+    modes4: np.ndarray | None = None  # (R, C, 16) z-scan-ordered 4x4 modes
+    luma4_levels: np.ndarray | None = None  # (R, C, 16, 16) zigzag, raster blk
 
 
 class FrameEncoder:
@@ -127,6 +137,10 @@ class FrameEncoder:
         self.n_rows = height // 16
         rows, cols, mask = _wave_indices(self.n_rows, self.n_cols)
         self._waves = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(mask))
+        # skew-2 waves (top-right MB in an earlier wave) for I_4x4 frames
+        rows2, cols2, mask2 = _wave_indices(self.n_rows, self.n_cols, skew=2)
+        self._waves2 = (jnp.asarray(rows2), jnp.asarray(cols2),
+                        jnp.asarray(mask2))
         has_top = np.ones(self.n_rows + 2, dtype=bool)
         has_top[0] = False
         for r in slice_rows:
@@ -139,8 +153,13 @@ class FrameEncoder:
 
     # ------------------------------------------------------------------ intra
 
-    def encode_iframe(self, y, u, v, qp: int, deblock: bool = False) -> IFrameResult:
-        """Encode one intra frame. y: (H, W), u/v: (H/2, W/2) uint8 arrays."""
+    def encode_iframe(self, y, u, v, qp: int, deblock: bool = False,
+                      i4x4: bool = False) -> IFrameResult:
+        """Encode one intra frame. y: (H, W), u/v: (H/2, W/2) uint8 arrays.
+
+        i4x4: enable per-MB I_4x4/I_16x16 mode decision (9 directional 4x4
+        modes with in-MB reconstruction dependencies; the wavefront switches
+        to the skew-2 schedule so above-right MBs are decoded first)."""
         qp_c = int(T.chroma_qp(qp))
         out = self._encode_i(
             jnp.asarray(y, jnp.int32),
@@ -149,6 +168,7 @@ class FrameEncoder:
             jnp.int32(qp),
             jnp.int32(qp_c),
             deblock,
+            i4x4,
         )
         return IFrameResult(
             mode16=np.asarray(out["mode16"]),
@@ -160,6 +180,9 @@ class FrameEncoder:
             recon_y=out["recon_y"],  # device-resident uint8
             recon_u=out["recon_u"],
             recon_v=out["recon_v"],
+            is_i4=np.asarray(out["is_i4"]) if i4x4 else None,
+            modes4=np.asarray(out["modes4"]) if i4x4 else None,
+            luma4_levels=np.asarray(out["luma4_levels"]) if i4x4 else None,
         )
 
     # ------------------------------------------------------------------ inter
@@ -361,10 +384,11 @@ class FrameEncoder:
             )
         return out
 
-    @functools.partial(jax.jit, static_argnums=(0, 6))
-    def _encode_iframe_device(self, y, u, v, qp, qp_c, deblock=False):
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7))
+    def _encode_iframe_device(self, y, u, v, qp, qp_c, deblock=False,
+                              i4x4=False):
         R, C = self.n_rows, self.n_cols
-        rows, cols, mask = self._waves
+        rows, cols, mask = self._waves2 if i4x4 else self._waves
         n_waves, max_wave = rows.shape
 
         # MB-granular original planes.
@@ -383,6 +407,10 @@ class FrameEncoder:
             "cdc_levels": jnp.zeros((R, C, 2, 4), jnp.int32),
             "cac_levels": jnp.zeros((R, C, 2, 4, 15), jnp.int32),
         }
+        if i4x4:
+            state["is_i4"] = jnp.zeros((R, C), bool)
+            state["modes4"] = jnp.zeros((R, C, 16), jnp.int32)
+            state["luma4_levels"] = jnp.zeros((R, C, 16, 16), jnp.int32)
 
         def wave_step(state, wave_idx):
             r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
@@ -402,11 +430,12 @@ class FrameEncoder:
             o = orig_y[r, c]  # (N, 16, 16)
 
             preds = intra_ops.pred_16x16_all(top, left, top_left, avail_top, avail_left)
-            cost = intra_ops.sad_cost(preds, o)
+            cost = intra_ops.satd_cost(preds, o)
             mode_ok = intra_ops.mode_available_16x16(avail_top, avail_left)
             cost = jnp.where(mode_ok, cost, jnp.int32(1 << 30))
             mode = jnp.argmin(cost, axis=-1).astype(jnp.int32)
             pred = jnp.take_along_axis(preds, mode[:, None, None, None], axis=1)[:, 0]
+            cost16 = jnp.min(cost, axis=-1)
 
             res = _mb_blocks(o - pred)  # (N, 16, 4, 4)
             w = T.forward_4x4(res)
@@ -422,6 +451,88 @@ class FrameEncoder:
             d = T.dequant_4x4(z_ac, qp)
             d = d.at[:, :, 0, 0].set(d_dc.reshape(-1, 16))
             recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(d)), 0, 255)
+
+            if i4x4:
+                # ---- I_4x4 candidate: 16 z-scan blocks, each vectorized
+                # across the wave; in-MB dependencies run as a static
+                # 16-substep chain over the candidate canvas `cur`.
+                N = o.shape[0]
+                top_row = top  # (N, 16) from the top MB
+                left_col = left  # (N, 16) from the left MB
+                cp1 = jnp.minimum(c + 1, C - 1)
+                tr_mb_ok = avail_top & (c < C - 1)
+                tr_row4 = ry[rm1, cp1, 15, 0:4]  # top-right MB bottom pixels
+                # In-MB top-right availability (z-scan decode order).
+                TR_OK = {(1, 0): True, (1, 1): False, (1, 2): True,
+                         (1, 3): False, (2, 0): True, (2, 1): True,
+                         (2, 2): True, (2, 3): False, (3, 0): True,
+                         (3, 1): False, (3, 2): True, (3, 3): False}
+                cur = jnp.zeros((N, 16, 16), jnp.int32)
+                cost4 = jnp.zeros((N,), jnp.int32)
+                modes4 = []
+                lev4 = [None] * 16  # raster block order
+                ones_b = jnp.ones((N,), bool)
+                for z in range(16):
+                    b = int(ZSCAN_TO_RASTER[z])
+                    by, bx = b // 4, b % 4
+                    x0, y0 = bx * 4, by * 4
+                    top4 = (top_row[:, x0 : x0 + 4] if by == 0
+                            else cur[:, y0 - 1, x0 : x0 + 4])
+                    left4 = (left_col[:, y0 : y0 + 4] if bx == 0
+                             else cur[:, y0 : y0 + 4, x0 - 1])
+                    if by == 0 and bx == 0:
+                        corner = top_left
+                    elif by == 0:
+                        corner = top_row[:, x0 - 1]
+                    elif bx == 0:
+                        corner = left_col[:, y0 - 1]
+                    else:
+                        corner = cur[:, y0 - 1, x0 - 1]
+                    if by == 0:
+                        if bx < 3:
+                            tr4 = top_row[:, x0 + 4 : x0 + 8]
+                            tr_ok = avail_top
+                        else:
+                            tr4 = tr_row4
+                            tr_ok = tr_mb_ok
+                    elif TR_OK[(by, bx)]:
+                        tr4 = cur[:, y0 - 1, x0 + 4 : x0 + 8]
+                        tr_ok = ones_b
+                    else:
+                        tr4 = jnp.zeros((N, 4), jnp.int32)
+                        tr_ok = jnp.zeros((N,), bool)
+                    b_top = ones_b if by > 0 else avail_top
+                    b_left = ones_b if bx > 0 else avail_left
+                    t8 = jnp.concatenate(
+                        [top4, jnp.where(tr_ok[:, None], tr4,
+                                         top4[:, 3:4])], axis=1)
+                    preds4, ok4 = intra_ops.pred_4x4_all(
+                        t8, left4, corner, b_top, b_left, tr_ok)
+                    ob = o[:, y0 : y0 + 4, x0 : x0 + 4]
+                    c4 = intra_ops.satd_cost(preds4, ob)
+                    c4 = jnp.where(ok4, c4, jnp.int32(1 << 30))
+                    m4 = jnp.argmin(c4, axis=-1).astype(jnp.int32)
+                    p4 = jnp.take_along_axis(
+                        preds4, m4[:, None, None, None], axis=1)[:, 0]
+                    cost4 = cost4 + jnp.min(c4, axis=-1)
+                    zl = T.quant_4x4(T.forward_4x4(ob - p4), qp, intra=True)
+                    rec4 = jnp.clip(
+                        p4 + T.inverse_4x4(T.dequant_4x4(zl, qp)), 0, 255)
+                    cur = cur.at[:, y0 : y0 + 4, x0 : x0 + 4].set(rec4)
+                    modes4.append(m4)
+                    lev4[b] = T.zigzag(zl)
+                modes4 = jnp.stack(modes4, axis=1)  # (N, 16) z-scan order
+                lev4 = jnp.stack(lev4, axis=1)  # (N, 16, 16) raster blocks
+                # Mode-bit overhead bias: I_4x4 signals ~16 x ~2.5 extra
+                # bits; scale by the quantizer step so the trade follows QP.
+                bias = 40 * jnp.left_shift(jnp.int32(1), qp // 6)
+                i4_sel = (cost4 + bias < cost16) & valid
+                s3 = i4_sel[:, None, None]
+                recon = jnp.where(s3, cur, recon)
+                z_dc = jnp.where(s3, 0, z_dc)
+                z_ac = jnp.where(i4_sel[:, None, None, None], 0, z_ac)
+                lev4 = jnp.where(i4_sel[:, None, None], lev4, 0)
+                modes4 = jnp.where(i4_sel[:, None], modes4, 0)
 
             # ---- chroma (joint mode decision over U+V) ----
             cu_top = state["recon_u"][rm1, c, 7, :]
@@ -489,6 +600,13 @@ class FrameEncoder:
                 jnp.stack([T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1),
                 state["cac_levels"][r, c],
             )
+            if i4x4:
+                new_state["is_i4"] = scatter(
+                    state["is_i4"], i4_sel, state["is_i4"][r, c])
+                new_state["modes4"] = scatter(
+                    state["modes4"], modes4, state["modes4"][r, c])
+                new_state["luma4_levels"] = scatter(
+                    state["luma4_levels"], lev4, state["luma4_levels"][r, c])
             return new_state, None
 
         state, _ = jax.lax.scan(wave_step, state, jnp.arange(n_waves))
@@ -500,6 +618,10 @@ class FrameEncoder:
                 "cdc_levels", "cac_levels",
             )
         }
+        if i4x4:
+            out["is_i4"] = state["is_i4"]
+            out["modes4"] = state["modes4"]
+            out["luma4_levels"] = state["luma4_levels"]
         ry = state["recon_y"].transpose(0, 2, 1, 3).reshape(self.height, self.width)
         ru = state["recon_u"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)
         rv = state["recon_v"].transpose(0, 2, 1, 3).reshape(self.height // 2, self.width // 2)

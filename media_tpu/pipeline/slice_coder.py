@@ -43,6 +43,25 @@ class _MbGridCoder:
         self.chroma_nnz = np.zeros((2, n_rows * 2, n_cols * 2), dtype=np.int32)
 
 
+def _i4_pred_mode(mode_grid, gy, gx):
+    """predIntra4x4PredMode (spec 8.3.1.1): min of left/top block modes,
+    with unavailable or non-I4x4 neighbors treated as DC (2)."""
+    a = int(mode_grid[gy, gx - 1]) if gx > 0 else -1
+    b = int(mode_grid[gy - 1, gx]) if gy > 0 else -1
+    a = 2 if a < 0 else a
+    b = 2 if b < 0 else b
+    return min(a, b)
+
+
+def _i4_cbp_luma(luma4_rc) -> int:
+    cbp = 0
+    for g8 in range(4):
+        blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+        if any(np.any(luma4_rc[b]) for b in blks):
+            cbp |= 1 << g8
+    return cbp
+
+
 def write_islice_mbs(
     bw: BitWriter,
     *,
@@ -52,13 +71,60 @@ def write_islice_mbs(
     ac_levels: np.ndarray,
     cdc_levels: np.ndarray,
     cac_levels: np.ndarray,
+    is_i4: np.ndarray | None = None,
+    modes4: np.ndarray | None = None,
+    luma4_levels: np.ndarray | None = None,
 ) -> None:
-    """Write all macroblocks of an I slice (I_16x16 only)."""
+    """Write all macroblocks of an I slice (I_16x16, and I_4x4 when the
+    per-MB decision arrays are provided: modes4 (R, C, 16) in z-scan order,
+    luma4_levels (R, C, 16, 16) zig-zag per raster 4x4 block)."""
     n_rows, n_cols = mode16.shape
     st = _MbGridCoder(n_rows, n_cols)
+    # 4x4 prediction-mode grid; -1 marks non-I4x4 (treated as DC by MPM).
+    mode_grid = np.full((n_rows * 4, n_cols * 4), -1, np.int32)
 
     for r in range(n_rows):
         for c in range(n_cols):
+            if is_i4 is not None and is_i4[r, c]:
+                bw.ue(0)  # mb_type = I_4x4
+                for zi in range(16):
+                    bi = int(ZSCAN_TO_RASTER[zi])
+                    gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
+                    pred = _i4_pred_mode(mode_grid, gy, gx)
+                    m = int(modes4[r, c, zi])
+                    if m == pred:
+                        bw.u(1, 1)  # prev_intra4x4_pred_mode_flag
+                    else:
+                        bw.u(1, 0)
+                        bw.u(3, m - 1 if m > pred else m)
+                    mode_grid[gy, gx] = m
+                bw.ue(int(chroma_mode[r, c]))
+                cbp_luma = _i4_cbp_luma(luma4_levels[r, c])
+                if np.any(cac_levels[r, c]):
+                    cbp_chroma = 2
+                elif np.any(cdc_levels[r, c]):
+                    cbp_chroma = 1
+                else:
+                    cbp_chroma = 0
+                cbp = cbp_luma | (cbp_chroma << 4)
+                bw.ue(int(tables.CBP_TO_CODE_INTRA[cbp]))
+                if cbp:
+                    bw.se(0)  # mb_qp_delta
+                for g8 in range(4):
+                    blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+                    if not (cbp_luma >> g8) & 1:
+                        for b in blks:
+                            st.luma_nnz[r * 4 + b // 4, c * 4 + b % 4] = 0
+                        continue
+                    for b in blks:
+                        by, bx = r * 4 + b // 4, c * 4 + b % 4
+                        n_c = _nc_luma(st.luma_nnz, by, bx)
+                        tc = cavlc.encode_block(
+                            bw, luma4_levels[r, c, b].tolist(), n_c)
+                        st.luma_nnz[by, bx] = tc
+                _write_chroma_residual(bw, st, r, c, cdc_levels[r, c],
+                                       cac_levels[r, c], cbp_chroma)
+                continue
             cbp_luma = 15 if np.any(ac_levels[r, c]) else 0
             if np.any(cac_levels[r, c]):
                 cbp_chroma = 2
@@ -138,6 +204,9 @@ class ParsedISlice:
     cdc_levels: np.ndarray
     cac_levels: np.ndarray
     qp: int
+    is_i4: np.ndarray | None = None
+    modes4: np.ndarray | None = None
+    luma4_levels: np.ndarray | None = None
 
 
 def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> ParsedISlice:
@@ -149,10 +218,59 @@ def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> Parsed
     ac_levels = np.zeros((n_rows, n_cols, 16, 15), np.int32)
     cdc_levels = np.zeros((n_rows, n_cols, 2, 4), np.int32)
     cac_levels = np.zeros((n_rows, n_cols, 2, 4, 15), np.int32)
+    is_i4 = np.zeros((n_rows, n_cols), bool)
+    modes4 = np.zeros((n_rows, n_cols, 16), np.int32)
+    luma4_levels = np.zeros((n_rows, n_cols, 16, 16), np.int32)
+    mode_grid = np.full((n_rows * 4, n_cols * 4), -1, np.int32)
 
     for r in range(n_rows):
         for c in range(n_cols):
             mb_type = br.ue()
+            if mb_type == 0:  # I_4x4
+                is_i4[r, c] = True
+                for zi in range(16):
+                    bi = int(ZSCAN_TO_RASTER[zi])
+                    gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
+                    pred = _i4_pred_mode(mode_grid, gy, gx)
+                    if br.u(1):
+                        m = pred
+                    else:
+                        rem = br.u(3)
+                        m = rem if rem < pred else rem + 1
+                    modes4[r, c, zi] = m
+                    mode_grid[gy, gx] = m
+                chroma_mode[r, c] = br.ue()
+                cbp = int(tables.CBP_TABLE[br.ue()][0])  # intra column
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp and br.se():
+                    raise NotImplementedError("per-MB QP in I slices")
+                for g8 in range(4):
+                    blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+                    if not (cbp_luma >> g8) & 1:
+                        for b in blks:
+                            st.luma_nnz[r * 4 + b // 4, c * 4 + b % 4] = 0
+                        continue
+                    for b in blks:
+                        by, bx = r * 4 + b // 4, c * 4 + b % 4
+                        n_c = _nc_luma(st.luma_nnz, by, bx)
+                        coeffs, tc = cavlc.decode_block(br, n_c, 16)
+                        luma4_levels[r, c, b] = coeffs
+                        st.luma_nnz[by, bx] = tc
+                if cbp_chroma:
+                    for comp in range(2):
+                        coeffs, _ = cavlc.decode_block(br, -1, 4)
+                        cdc_levels[r, c, comp] = coeffs
+                if cbp_chroma == 2:
+                    for comp in range(2):
+                        for bi in range(4):
+                            by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                            n_c = _nc_chroma(st.chroma_nnz[comp], by, bx)
+                            coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                            cac_levels[r, c, comp, bi] = coeffs
+                            st.chroma_nnz[comp, by, bx] = tc
+                else:
+                    st.chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+                continue
             if not 1 <= mb_type <= 24:
                 raise NotImplementedError(f"I-slice mb_type {mb_type} unsupported")
             mt = mb_type - 1
@@ -198,6 +316,9 @@ def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> Parsed
         cdc_levels=cdc_levels,
         cac_levels=cac_levels,
         qp=qp,
+        is_i4=is_i4,
+        modes4=modes4,
+        luma4_levels=luma4_levels,
     )
 
 

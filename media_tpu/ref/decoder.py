@@ -199,8 +199,15 @@ class ReferenceDecoder:
             else:
                 r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
-                self._decode_i16(br, y, u, v, r, c, mb_type, qp,
-                                 luma_nnz, chroma_nnz, n_cols, r0)
+                if mb_type == 0:  # I_4x4
+                    if "i4_modes" not in asm:
+                        asm["i4_modes"] = np.full(
+                            (n_rows * 4, n_cols * 4), -1, np.int32)
+                    self._decode_i4(br, y, u, v, r, c, qp, luma_nnz,
+                                    chroma_nnz, n_cols, asm["i4_modes"], r0)
+                else:
+                    self._decode_i16(br, y, u, v, r, c, mb_type, qp,
+                                     luma_nnz, chroma_nnz, n_cols, r0)
                 mb_idx += 1
 
         asm["covered"] += mb_idx - start_idx
@@ -295,6 +302,200 @@ class ReferenceDecoder:
         # Prediction
         pred = self._pred16(y, r, c, pred_mode, r0)
         self._recon_luma_i16(y, r, c, pred, dc_scan, ac, qp)
+        for comp, plane in ((0, u), (1, v)):
+            cpred = self._pred_chroma(plane, r, c, chroma_mode, r0)
+            qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            self._recon_chroma(plane, r, c, cpred, cdc[comp], cac[comp], qpc)
+
+    # ------------------------------------------------------------- intra 4x4
+
+    # In-MB above-right availability for 4x4 blocks (z-scan decode order):
+    # (by, bx) -> the block above-right has already been decoded.
+    _I4_TR_OK = {(1, 0): True, (1, 1): False, (1, 2): True, (1, 3): False,
+                 (2, 0): True, (2, 1): True, (2, 2): True, (2, 3): False,
+                 (3, 0): True, (3, 1): False, (3, 2): True, (3, 3): False}
+
+    @staticmethod
+    def _pred4x4(mode, t, l, q, have_top, have_left):
+        """Independent scalar Intra_4x4 predictors (spec 8.3.1.2).
+
+        t: (8,) p[x,-1] x=0..7 (above-right already substituted);
+        l: (4,) p[-1,y]; q: p[-1,-1]. Returns (4, 4) int64."""
+        p = np.zeros((4, 4), np.int64)
+        t = t.astype(np.int64)
+        l = l.astype(np.int64)
+        q = int(q)
+        if mode == 0:  # Vertical
+            p[:, :] = t[0:4][None, :]
+        elif mode == 1:  # Horizontal
+            p[:, :] = l[:, None]
+        elif mode == 2:  # DC
+            if have_top and have_left:
+                v = (int(t[0:4].sum()) + int(l.sum()) + 4) >> 3
+            elif have_top:
+                v = (int(t[0:4].sum()) + 2) >> 2
+            elif have_left:
+                v = (int(l.sum()) + 2) >> 2
+            else:
+                v = 128
+            p[:, :] = v
+        elif mode == 3:  # Diagonal-Down-Left
+            for yy in range(4):
+                for xx in range(4):
+                    if xx == 3 and yy == 3:
+                        p[yy, xx] = (t[6] + 3 * t[7] + 2) >> 2
+                    else:
+                        p[yy, xx] = (t[xx + yy] + 2 * t[xx + yy + 1]
+                                     + t[xx + yy + 2] + 2) >> 2
+        elif mode == 4:  # Diagonal-Down-Right
+            for yy in range(4):
+                for xx in range(4):
+                    if xx > yy:
+                        p[yy, xx] = (t[xx - yy - 2] + 2 * t[xx - yy - 1]
+                                     + t[xx - yy] + 2) >> 2
+                    elif xx < yy:
+                        p[yy, xx] = (l[yy - xx - 2] + 2 * l[yy - xx - 1]
+                                     + l[yy - xx] + 2) >> 2
+                    else:
+                        p[yy, xx] = (t[0] + 2 * q + l[0] + 2) >> 2
+        elif mode in (5, 6):  # Vertical-Right / Horizontal-Down
+            # Mirror pair: HD is VR with (x, y) and top/left swapped.
+            def px(i):
+                return q if i == -1 else int(t[i])
+
+            def py(i):
+                return q if i == -1 else int(l[i])
+
+            if mode == 6:
+                px, py = py, px
+            for yy in range(4):
+                for xx in range(4):
+                    x_, y_ = (xx, yy) if mode == 5 else (yy, xx)
+                    z = 2 * x_ - y_
+                    if z >= 0 and z % 2 == 0:
+                        p[yy, xx] = (px(x_ - (y_ >> 1) - 1)
+                                     + px(x_ - (y_ >> 1)) + 1) >> 1
+                    elif z >= 0:
+                        p[yy, xx] = (px(x_ - (y_ >> 1) - 2)
+                                     + 2 * px(x_ - (y_ >> 1) - 1)
+                                     + px(x_ - (y_ >> 1)) + 2) >> 2
+                    elif z == -1:
+                        p[yy, xx] = (py(0) + 2 * q + px(0) + 2) >> 2
+                    else:
+                        p[yy, xx] = (py(y_ - 2 * x_ - 1)
+                                     + 2 * py(y_ - 2 * x_ - 2)
+                                     + py(y_ - 2 * x_ - 3) + 2) >> 2
+        elif mode == 7:  # Vertical-Left
+            for yy in range(4):
+                for xx in range(4):
+                    i = xx + (yy >> 1)
+                    if yy % 2 == 0:
+                        p[yy, xx] = (t[i] + t[i + 1] + 1) >> 1
+                    else:
+                        p[yy, xx] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        elif mode == 8:  # Horizontal-Up
+            for yy in range(4):
+                for xx in range(4):
+                    z = xx + 2 * yy
+                    i = yy + (xx >> 1)
+                    if z > 5:
+                        p[yy, xx] = l[3]
+                    elif z == 5:
+                        p[yy, xx] = (l[2] + 3 * l[3] + 2) >> 2
+                    elif z % 2 == 0:
+                        p[yy, xx] = (l[i] + l[i + 1] + 1) >> 1
+                    else:
+                        p[yy, xx] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+        else:
+            raise ValueError(f"intra4x4 mode {mode}")
+        return p
+
+    def _decode_i4(self, br, y, u, v, r, c, qp, luma_nnz, chroma_nnz, n_cols,
+                   i4_modes, r0=0):
+        from ..entropy.cavlc_tables import CBP_TABLE
+
+        # 1) prediction modes (MPM chain, z-scan order)
+        modes = np.zeros(16, np.int32)
+        for zi in range(16):
+            bi = _ZSCAN[zi]
+            gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
+            ma = int(i4_modes[gy, gx - 1]) if gx > 0 else -1
+            mb = int(i4_modes[gy - 1, gx]) if gy > 4 * r0 else -1
+            pred = min(2 if ma < 0 else ma, 2 if mb < 0 else mb)
+            if br.u(1):
+                m = pred
+            else:
+                rem = br.u(3)
+                m = rem if rem < pred else rem + 1
+            modes[zi] = m
+            i4_modes[gy, gx] = m
+        chroma_mode = br.ue()
+        cbp = int(CBP_TABLE[br.ue()][0])  # intra column
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp and br.se():
+            raise NotImplementedError("mb_qp_delta != 0 in I slices")
+
+        # 2) residuals
+        lev = np.zeros((16, 16), np.int32)
+        for g8 in range(4):
+            blks = [_ZSCAN[g8 * 4 + k] for k in range(4)]
+            if not (cbp_luma >> g8) & 1:
+                for bi in blks:
+                    luma_nnz[r * 4 + bi // 4, c * 4 + bi % 4] = 0
+                continue
+            for bi in blks:
+                by, bx = r * 4 + bi // 4, c * 4 + bi % 4
+                n_c = self._nc(luma_nnz, by, bx, 4 * r0)
+                coeffs, tc = cavlc.decode_block(br, n_c, 16)
+                lev[bi] = coeffs
+                luma_nnz[by, bx] = tc
+        cdc = np.zeros((2, 4), np.int32)
+        cac = np.zeros((2, 4, 15), np.int32)
+        if cbp_chroma:
+            for comp in range(2):
+                coeffs, _ = cavlc.decode_block(br, -1, 4)
+                cdc[comp] = coeffs
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for bi in range(4):
+                    by, bx = r * 2 + bi // 2, c * 2 + bi % 2
+                    n_c = self._nc(chroma_nnz[comp], by, bx, 2 * r0)
+                    coeffs, tc = cavlc.decode_block(br, n_c, 15)
+                    cac[comp, bi] = coeffs
+                    chroma_nnz[comp, by, bx] = tc
+        else:
+            chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+
+        # 3) reconstruct blocks in z-scan order (neighbors come from the
+        # picture plane, already holding earlier blocks' reconstructions)
+        y0, x0 = r * 16, c * 16
+        for zi in range(16):
+            bi = _ZSCAN[zi]
+            by, bx = bi // 4, bi % 4
+            gy, gx = y0 + by * 4, x0 + bx * 4
+            have_top = by > 0 or r > r0
+            have_left = bx > 0 or c > 0
+            t = np.zeros(8, np.int64)
+            l = np.zeros(4, np.int64)
+            q = 0
+            if have_top:
+                t[0:4] = y[gy - 1, gx : gx + 4]
+            if have_left:
+                l[:] = y[gy : gy + 4, gx - 1]
+            if have_top and have_left:
+                q = int(y[gy - 1, gx - 1])
+            if by == 0:
+                tr_ok = have_top and (bx < 3 or c < n_cols - 1)
+            else:
+                tr_ok = self._I4_TR_OK[(by, bx)]
+            if tr_ok:
+                t[4:8] = y[gy - 1, gx + 4 : gx + 8]
+            elif have_top:
+                t[4:8] = t[3]
+            pred = self._pred4x4(int(modes[zi]), t, l, q, have_top, have_left)
+            res = _idct4(_dequant4(_unzigzag(list(lev[bi])), qp))
+            y[gy : gy + 4, gx : gx + 4] = np.clip(pred + res, 0, 255)
+
         for comp, plane in ((0, u), (1, v)):
             cpred = self._pred_chroma(plane, r, c, chroma_mode, r0)
             qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])

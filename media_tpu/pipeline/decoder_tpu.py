@@ -373,7 +373,8 @@ class TpuDecoder:
             return self._decode_slice_body(rbsp, br, hdr, nal_ref_idc)
         except UnsupportedStream:
             raise
-        except (ValueError, NotImplementedError, IndexError, KeyError) as e:
+        except (ValueError, NotImplementedError, IndexError, KeyError,
+                EOFError) as e:
             # Syntax outside this path's envelope (or a stream the scalar
             # reference decoder may still handle): route to the fallback.
             raise UnsupportedStream(str(e)) from e

@@ -17,9 +17,48 @@ from __future__ import annotations
 from ..core import params as P
 from ..core.log import Logger
 from ..pipeline.codec import EncoderConfig, EncoderSession
+
+
+class _HevcSessionAdapter:
+    """EncoderSession-shaped wrapper around the intra-only HEVC skeleton
+    (media_tpu/hevc): I420 bytes in, Annex-B HEVC AU out."""
+
+    def __init__(self, width: int, height: int, qp: int):
+        from ..hevc import HevcEncoderSession
+
+        self._s = HevcEncoderSession(width, height, qp)
+        self.width, self.height = width, height
+
+    def force_keyframe(self):  # every frame is intra already
+        pass
+
+    def encode_frame(self, data) -> bytes:
+        from ..utils import yuv
+
+        y, u, v = yuv.split_i420(data, self.width, self.height)
+        return self._s.encode_frame(y, u, v)
 from .errors import CodecFormat, EncoderRetCode
 
 log = Logger("VideoEncoder")
+
+class _HevcSessionAdapter:
+    """EncoderSession-shaped wrapper around the intra-only HEVC skeleton
+    (media_tpu/hevc): I420 bytes in, Annex-B HEVC AU out."""
+
+    def __init__(self, width: int, height: int, qp: int):
+        from ..hevc import HevcEncoderSession
+
+        self._s = HevcEncoderSession(width, height, qp)
+        self.width, self.height = width, height
+
+    def force_keyframe(self):  # every frame is intra already
+        pass
+
+    def encode_frame(self, data) -> bytes:
+        from ..utils import yuv
+
+        y, u, v = yuv.split_i420(data, self.width, self.height)
+        return self._s.encode_frame(y, u, v)
 
 
 class VideoEncoder:
@@ -37,7 +76,7 @@ class VideoEncoder:
     # ------------------------------------------------------------- lifecycle
 
     def init_encoder(self) -> EncoderRetCode:
-        if self._codec != CodecFormat.H264:
+        if self._codec not in (CodecFormat.H264, CodecFormat.H265):
             log.err("codec %s not yet supported", self._codec)
             return EncoderRetCode.VIDEO_ENCODER_UNSUPPORTED
         try:
@@ -47,6 +86,13 @@ class VideoEncoder:
             return EncoderRetCode.VIDEO_ENCODER_INIT_FAIL
         p = self._params
         qp = _bitrate_to_qp(p.bitrate, p.width, p.height, p.framerate)
+        if self._codec == CodecFormat.H265:
+            # Format-2 slot (reference: VideoEncoderNetint H.265 mode,
+            # VideoCodecApi.cpp:23-38): intra-only skeleton session.
+            self._session = _HevcSessionAdapter(p.width, p.height, qp)
+            log.info("init HEVC %dx%d qp=%d (intra-only)", p.width,
+                     p.height, qp)
+            return EncoderRetCode.VIDEO_ENCODER_SUCCESS
         self._session = EncoderSession(
             EncoderConfig(width=p.width, height=p.height, qp=qp,
                           gop_size=p.gop_size, profile=p.profile)
@@ -148,8 +194,7 @@ def create_video_encoder(store: P.ParamStore | None = None) -> VideoEncoder | No
     if fmt in (0, 1):
         return VideoEncoder(store, CodecFormat.H264)
     if fmt == 2:
-        log.err("H.265 backend not yet available")
-        return None
+        return VideoEncoder(store, CodecFormat.H265)
     log.err("unknown encode format %d", fmt)
     return None
 

@@ -1,0 +1,86 @@
+"""HEVC intra-only skeleton: parameter-set round trips, frame round trips
+(decoder recon == encoder recon), quality sanity, and the format-2 factory."""
+
+import numpy as np
+import pytest
+
+from media_tpu.core.bitstream import BitReader, BitWriter
+from media_tpu.hevc import HevcEncoderSession, HevcRefDecoder
+from media_tpu.hevc import syntax as S
+from media_tpu.utils import yuv
+
+
+def test_parameter_set_roundtrip():
+    sps = S.HevcSPS(width=1920, height=1088, conf_bottom=4)
+    w = BitWriter()
+    sps.write(w)
+    w.rbsp_trailing_bits()
+    got = S.HevcSPS.parse(BitReader(w.get_bytes()))
+    assert (got.width, got.height, got.conf_bottom) == (1920, 1088, 4)
+
+    pps = S.HevcPPS(init_qp=33)
+    w = BitWriter()
+    pps.write(w)
+    w.rbsp_trailing_bits()
+    assert S.HevcPPS.parse(BitReader(w.get_bytes())).init_qp == 33
+
+    vps = S.HevcVPS()
+    w = BitWriter()
+    vps.write(w)
+    w.rbsp_trailing_bits()
+    assert S.HevcVPS.parse(BitReader(w.get_bytes())).vps_id == 0
+
+
+def scene(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    big = rng.integers(0, 256, (h + 8, w + 8)).astype(np.int32)
+    big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1) + np.roll(big, 3, 1)) // 4
+    y = big[:h, :w].astype(np.uint8)
+    u = (big[: h // 2, : w // 2] // 2 + 40).astype(np.uint8)
+    v = (big[: h // 2, : w // 2] // 3 + 70).astype(np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("qp", [24, 34])
+def test_hevc_frame_roundtrip(qp):
+    w, h = 64, 48
+    y, u, v = scene(w, h)
+    sess = HevcEncoderSession(w, h, qp=qp)
+    au = sess.encode_frame(y, u, v)
+    assert au.startswith(b"\x00\x00\x00\x01")
+    nal_types = [t for t, _ in S.parse_hevc_nals(au)]
+    assert nal_types == [S.NAL_VPS, S.NAL_SPS, S.NAL_PPS, S.NAL_IDR_W_RADL]
+
+    dec = HevcRefDecoder()
+    frames = dec.decode_annexb(au)
+    assert len(frames) == 1
+    np.testing.assert_array_equal(frames[0].y, sess.recon[0])
+    np.testing.assert_array_equal(frames[0].u, sess.recon[1])
+    np.testing.assert_array_equal(frames[0].v, sess.recon[2])
+    psnr = yuv.psnr(frames[0].y[:h, :w], y)
+    assert psnr > (37 if qp == 24 else 26), psnr
+
+    # second AU omits the parameter sets but still decodes
+    au2 = sess.encode_frame(y, u, v)
+    assert [t for t, _ in S.parse_hevc_nals(au2)] == [S.NAL_IDR_W_RADL]
+    f2 = dec.decode_annexb(au2)[0]
+    np.testing.assert_array_equal(f2.y, sess.recon[0])
+
+
+def test_factory_format_2():
+    from media_tpu.api.encoder_api import create_video_encoder
+    from media_tpu.api.errors import EncoderRetCode
+    from media_tpu.core import params as P
+
+    store = P.ParamStore()
+    store.set(P.KEY_ENCODE_FORMAT, "2")
+    store.set("ro.hardware.width", "64")
+    store.set("ro.hardware.height", "48")
+    enc = create_video_encoder(store)
+    assert enc is not None
+    assert enc.init_encoder() == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+    assert enc.start_encoder() == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+    y, u, v = scene(64, 48)
+    code, au = enc.encode_one_frame(yuv.pack_i420(y, u, v))
+    assert code == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+    assert HevcRefDecoder().decode_annexb(au)

@@ -109,9 +109,15 @@ class TestEncoderLifecycle:
     def test_factory_format_select(self):
         store = small_store()
         store.set(P.KEY_ENCODE_FORMAT, "2")
-        assert create_video_encoder(store) is None  # H.265 not yet
+        enc265 = create_video_encoder(store)  # H.265 intra-only skeleton
+        assert enc265 is not None
+        from media_tpu.api.errors import CodecFormat
+
+        assert enc265._codec == CodecFormat.H265
         store.set(P.KEY_ENCODE_FORMAT, "1")
         assert create_video_encoder(store) is not None
+        store.set(P.KEY_ENCODE_FORMAT, "7")
+        assert create_video_encoder(store) is None  # unknown format
 
 
 def encode_stream(w, h, n, gop=30, qp_seed=0):

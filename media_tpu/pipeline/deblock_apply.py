@@ -36,9 +36,19 @@ def _skew_waves(R: int, C: int):
     return rows, cols, mask
 
 
+def _edge_param(p, e):
+    """Per-edge threshold: scalar passes through; a (lanes, E) array yields
+    the (lanes, 1, 1) broadcast slice for edge e (per-MB QP deblocking)."""
+    return p if jnp.ndim(p) == 0 else p[:, e, None, None]
+
+
 def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
                       tcch, alpha, beta, alpha_c, beta_c):
-    """XLA twin of ops/deblock_pallas._wave_kernel (same tap-wise math)."""
+    """XLA twin of ops/deblock_pallas._wave_kernel (same tap-wise math).
+
+    alpha/beta (and chroma twins) are scalars for uniform-QP frames, or
+    (lanes, n_edges) arrays carrying the spec 8.7.2 per-edge thresholds
+    (qPav-averaged on MB-boundary edges) for per-MB-QP frames."""
     from ..ops.deblock import filter_chroma_taps, filter_luma_taps
 
     def set_col(a, x, val):
@@ -50,13 +60,15 @@ def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
     for e in range(4):
         x = 4 + 4 * e
         taps = [patch[:, 4:20, x - 4 + k : x - 3 + k] for k in range(8)]
-        out = filter_luma_taps(*taps, bsv[e], alpha, beta, tcv[e])
+        out = filter_luma_taps(*taps, bsv[e], _edge_param(alpha, e),
+                               _edge_param(beta, e), tcv[e])
         for k, val in enumerate(out):
             patch = set_col(patch, x - 3 + k, val)
     for e in range(4):
         y_ = 4 + 4 * e
         taps = [patch[:, y_ - 4 + k : y_ - 3 + k, 4:20] for k in range(8)]
-        out = filter_luma_taps(*taps, bsh[e], alpha, beta, tch[e])
+        out = filter_luma_taps(*taps, bsh[e], _edge_param(alpha, 4 + e),
+                               _edge_param(beta, 4 + e), tch[e])
         for k, val in enumerate(out):
             patch = set_row(patch, y_ - 3 + k, val)
 
@@ -68,7 +80,8 @@ def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
             q0 = cp[:, 4:12, x : x + 1]
             q1 = cp[:, 4:12, x + 1 : x + 2]
             p0n, q0n = filter_chroma_taps(p1, p0, q0, q1, bscv[e],
-                                          alpha_c, beta_c, tccv[e])
+                                          _edge_param(alpha_c, e),
+                                          _edge_param(beta_c, e), tccv[e])
             cp = cp.at[:, 4:12, x - 1 : x].set(p0n)
             cp = cp.at[:, 4:12, x : x + 1].set(q0n)
         for e in range(2):
@@ -78,7 +91,8 @@ def _wave_filters_xla(patch, cu, cv, bsv, tcv, bsh, tch, bscv, tccv, bsch,
             q0 = cp[:, y_ : y_ + 1, 4:12]
             q1 = cp[:, y_ + 1 : y_ + 2, 4:12]
             p0n, q0n = filter_chroma_taps(p1, p0, q0, q1, bsch[e],
-                                          alpha_c, beta_c, tcch[e])
+                                          _edge_param(alpha_c, 2 + e),
+                                          _edge_param(beta_c, 2 + e), tcch[e])
             cp = cp.at[:, y_ - 1 : y_, 4:12].set(p0n)
             cp = cp.at[:, y_ : y_ + 1, 4:12].set(q0n)
         return cp
@@ -144,24 +158,42 @@ def _to_wave(flat, perm_to, n_slots):
     return jnp.take(src, jnp.asarray(perm_to), axis=0)
 
 
-def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
+def _qp_lut(qp_idx, cols):
+    """Vectorized threshold-table lookup via one-hot bf16 MXU matmul
+    (element gathers serialize on TPU). qp_idx: int array; cols: (52, K)
+    int table, values < 256 (exact in bf16). Returns (..., K) int32."""
+    flat = jnp.clip(qp_idx, 0, 51).reshape(-1)
+    onehot = (flat[:, None] == jnp.arange(52, dtype=jnp.int32)[None, :]
+              ).astype(jnp.bfloat16)
+    vals = jnp.dot(onehot, jnp.asarray(cols).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    return vals.astype(jnp.int32).reshape(qp_idx.shape + (cols.shape[1],))
+
+
+def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
+                             qp_map=None):
     """Wave-major deblocking: one shear in, contiguous-slice scan, one shear
-    out. Bit-identical to the gather/scatter formulation (tests)."""
+    out. Bit-identical to the gather/scatter formulation (tests).
+
+    qp_map: optional (R, C) per-MB luma QP. When given, thresholds follow
+    spec 8.7.2: each MB-boundary edge uses qPav = (QPp + QPq + 1) >> 1 of
+    the two adjoining MBs (chroma averages the per-MB QPc values), internal
+    edges use the MB's own QP; qp/qp_c are ignored."""
     lay = _wave_layout(R, C)
     n_waves, LW, maxw = lay["n_waves"], lay["LW"], lay["maxw"]
     n_slots = (n_waves + 2) * LW
-
-    alpha = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp, 0, 51)]
-    beta = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp, 0, 51)]
-    tc0_row = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp, 0, 51)]
-    alpha_c = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp_c, 0, 51)]
-    beta_c = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp_c, 0, 51)]
-    tc0_row_c = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp_c, 0, 51)]
+    per_mb = qp_map is not None
 
     def tc0_sel(bs, row):
         return jnp.where(bs == 1, row[0],
                          jnp.where(bs == 2, row[1],
                                    jnp.where(bs == 3, row[2], 0)))
+
+    def tc0_sel_rows(bs, rows):
+        # bs: (n, E, B); rows: (n, E, 3) per-edge tc0 triplets.
+        return jnp.where(bs == 1, rows[..., 0:1],
+                         jnp.where(bs == 2, rows[..., 1:2],
+                                   jnp.where(bs == 3, rows[..., 2:3], 0)))
 
     # ---- frame-level bS / tc0 per MB (pure reshapes of the edge grids) ----
     bs_v = jnp.asarray(bs_v, jnp.int32)
@@ -169,10 +201,47 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     # [r, c, e, b] = bs at vertical edge e, block-row b of MB (r, c)
     bsv_mb = bs_v.reshape(R, 4, C, 4).transpose(0, 2, 3, 1).reshape(R * C, 4, 4)
     bsh_mb = bs_h.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(R * C, 4, 4)
-    tcv_mb = tc0_sel(bsv_mb, tc0_row)
-    tch_mb = tc0_sel(bsh_mb, tc0_row)
-    tccv_mb = tc0_sel(bsv_mb[:, (0, 2), :], tc0_row_c)  # chroma uses edges 0,2
-    tcch_mb = tc0_sel(bsh_mb[:, (0, 2), :], tc0_row_c)
+    if per_mb:
+        tbl = np.stack([np.asarray(db.ALPHA_TABLE), np.asarray(db.BETA_TABLE),
+                        np.asarray(db.TC0_TABLE)[:, 0],
+                        np.asarray(db.TC0_TABLE)[:, 1],
+                        np.asarray(db.TC0_TABLE)[:, 2]], axis=1)  # (52, 5)
+        from ..ops.transform import CHROMA_QP_TABLE
+
+        qpm = jnp.asarray(qp_map, jnp.int32).reshape(R, C)
+        qpc_m = _qp_lut(qpm, np.asarray(CHROMA_QP_TABLE)[:, None])[..., 0]
+
+        def edge_qps(m):
+            left = jnp.concatenate([m[:, :1], m[:, :-1]], axis=1)
+            top = jnp.concatenate([m[:1, :], m[:-1, :]], axis=0)
+            return (left + m + 1) >> 1, (top + m + 1) >> 1
+
+        avl, avt = edge_qps(qpm)
+        avl_c, avt_c = edge_qps(qpc_m)
+        # luma per-edge QP, layout (R, C, 8): v edges 0-3 then h edges 0-3
+        qp_e = jnp.stack([avl, qpm, qpm, qpm, avt, qpm, qpm, qpm], axis=-1)
+        # chroma per-edge QPc, layout (R, C, 4): cv0, cv1, ch0, ch1
+        qp_ce = jnp.stack([avl_c, qpc_m, avt_c, qpc_m], axis=-1)
+        lut = _qp_lut(qp_e, tbl).reshape(R * C, 8, 5)
+        lut_c = _qp_lut(qp_ce, tbl).reshape(R * C, 4, 5)
+        ab_l = lut[:, :, 0:2]    # (n, 8, [alpha, beta])
+        ab_c = lut_c[:, :, 0:2]  # (n, 4, [alpha, beta])
+        tcv_mb = tc0_sel_rows(bsv_mb, lut[:, 0:4, 2:5])
+        tch_mb = tc0_sel_rows(bsh_mb, lut[:, 4:8, 2:5])
+        tccv_mb = tc0_sel_rows(bsv_mb[:, (0, 2), :], lut_c[:, 0:2, 2:5])
+        tcch_mb = tc0_sel_rows(bsh_mb[:, (0, 2), :], lut_c[:, 2:4, 2:5])
+        alpha = beta = alpha_c = beta_c = None  # carried per-MB in meta
+    else:
+        alpha = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp, 0, 51)]
+        beta = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp, 0, 51)]
+        tc0_row = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp, 0, 51)]
+        alpha_c = jnp.asarray(db.ALPHA_TABLE)[jnp.clip(qp_c, 0, 51)]
+        beta_c = jnp.asarray(db.BETA_TABLE)[jnp.clip(qp_c, 0, 51)]
+        tc0_row_c = jnp.asarray(db.TC0_TABLE)[jnp.clip(qp_c, 0, 51)]
+        tcv_mb = tc0_sel(bsv_mb, tc0_row)
+        tch_mb = tc0_sel(bsh_mb, tc0_row)
+        tccv_mb = tc0_sel(bsv_mb[:, (0, 2), :], tc0_row_c)  # chroma: edges 0,2
+        tcch_mb = tc0_sel(bsh_mb[:, (0, 2), :], tc0_row_c)
 
     # ---- shear everything to wave-major (row-takes, no element gathers) ----
     yb = jnp.asarray(y, jnp.int32).reshape(R, 16, C, 16).transpose(0, 2, 1, 3)

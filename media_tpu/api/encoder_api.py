@@ -19,27 +19,10 @@ from ..core.log import Logger
 from ..pipeline.codec import EncoderConfig, EncoderSession
 
 
-class _HevcSessionAdapter:
-    """EncoderSession-shaped wrapper around the intra-only HEVC skeleton
-    (media_tpu/hevc): I420 bytes in, Annex-B HEVC AU out."""
-
-    def __init__(self, width: int, height: int, qp: int):
-        from ..hevc import HevcEncoderSession
-
-        self._s = HevcEncoderSession(width, height, qp)
-        self.width, self.height = width, height
-
-    def force_keyframe(self):  # every frame is intra already
-        pass
-
-    def encode_frame(self, data) -> bytes:
-        from ..utils import yuv
-
-        y, u, v = yuv.split_i420(data, self.width, self.height)
-        return self._s.encode_frame(y, u, v)
 from .errors import CodecFormat, EncoderRetCode
 
 log = Logger("VideoEncoder")
+
 
 class _HevcSessionAdapter:
     """EncoderSession-shaped wrapper around the intra-only HEVC skeleton

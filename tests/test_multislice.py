@@ -5,6 +5,8 @@ trips must stay bit-exact through the reference decoder."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from media_tpu.core.nal import H264NalType, iter_nal_units
 from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
 from media_tpu.ref.decoder import ReferenceDecoder

@@ -5,6 +5,8 @@ virtual 8-device CPU mesh, conftest)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from media_tpu.parallel.sharding import ShardedEncoderSession

@@ -5,6 +5,8 @@ reconstruction to the single-chip path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from media_tpu.ops.transform import chroma_qp

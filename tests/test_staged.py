@@ -5,6 +5,8 @@ host->device copy out of the encode loop, never changes the bitstream."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
 from media_tpu.utils import yuv
 

@@ -5,6 +5,8 @@ the CPU backend (conftest), where integer jit semantics match the TPU."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
 from media_tpu.pipeline.decoder_tpu import TpuDecoder
 from media_tpu.ref.decoder import ReferenceDecoder

@@ -341,6 +341,7 @@ class SliceHeader:
     num_ref_idx_l0_active: int = 1
     slice_qp_delta: int = 0
     disable_deblocking_filter_idc: int = 0
+    cabac_init_idc: int = 0
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
     nal_ref_idc: int = 3
@@ -379,7 +380,7 @@ class SliceHeader:
             else:
                 w.flag(False)  # adaptive_ref_pic_marking_mode_flag
         if pps.entropy_coding_mode and not self.is_i:
-            w.ue(0)  # cabac_init_idc
+            w.ue(self.cabac_init_idc)
         w.se(self.slice_qp_delta)
         if pps.deblocking_filter_control_present:
             w.ue(self.disable_deblocking_filter_idc)
@@ -419,7 +420,7 @@ class SliceHeader:
                 if r.flag():
                     raise NotImplementedError("adaptive ref pic marking not supported")
         if pps.entropy_coding_mode and not h.is_i:
-            r.ue()  # cabac_init_idc
+            h.cabac_init_idc = r.ue()
         h.slice_qp_delta = r.se()
         if pps.deblocking_filter_control_present:
             h.disable_deblocking_filter_idc = r.ue()

@@ -16,36 +16,33 @@ indices so ctx numbers in cabac_slice.py match the spec tables):
   227..275 coeff_abs_level_minus1
   276      end_of_slice (terminate; no state)
 
-Initialization provenance (HONEST DEVIATION, tracked in PARITY.md): the spec
-initializes each context from per-slice-type (m, n) tables (Tables 9-12 to
-9-33, ~1000 constants) as
+Initialization (spec 9.3.1.1 machinery, per-slice-type and per-idc tables):
     preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, qp)) >> 4) + n)
-This build cannot verify those constants against the published tables in
-this environment, so it initializes every context to the uniform state
-(m, n) = (0, 64) -> pStateIdx 0, valMPS 1 — structurally identical machinery,
-self-consistent between this encoder and decoder (round-trip tested), with a
-small adaptation-ramp cost on the first macroblocks of each slice. Dropping
-in the spec tables is a data-only change (INIT_MN below).
+I slices use INIT_MN_I; P slices select INIT_MN_P[cabac_init_idc] via the
+slice header. Table provenance: fit from this encoder's own bin statistics
+(see cabac_init_tables.py — the published spec constants cannot be verified
+in this environment; the deviation is data-only and tracked in PARITY.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-NUM_CTX = 460
+from .cabac_init_tables import INIT_MN_I, INIT_MN_P, NUM_CTX
 
-# (m, n) per ctxIdx; uniform init (see module docstring). Replace with the
-# spec's Tables 9-12..9-33 for cross-decoder conformance.
-INIT_MN = np.zeros((NUM_CTX, 2), np.int32)
-INIT_MN[:, 1] = 64
+# Backward-compat alias (uniform-era name); I-slice table.
+INIT_MN = INIT_MN_I
 
 
 class ContextModels:
     """Per-slice adaptive contexts: pStateIdx and valMPS arrays."""
 
-    def __init__(self, qp: int, cabac_init_idc: int = 0):
-        m = INIT_MN[:, 0]
-        n = INIT_MN[:, 1]
+    def __init__(self, qp: int, cabac_init_idc: int = 0,
+                 slice_type: str = "I"):
+        tbl = (INIT_MN_I if slice_type == "I"
+               else INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
+        m = tbl[:, 0]
+        n = tbl[:, 1]
         pre = np.clip(((m * int(np.clip(qp, 0, 51))) >> 4) + n, 1, 126)
         self.mps = (pre > 63).astype(np.int32)
         self.state = np.where(pre > 63, pre - 64, 63 - pre).astype(np.int32)
@@ -65,6 +62,8 @@ MVD_X = 40
 MVD_Y = 47
 MB_QP_DELTA = 60
 CHROMA_PRED = 64
+I4_PRED_FLAG = 68  # prev_intra4x4_pred_mode_flag
+I4_PRED_REM = 69   # rem_intra4x4_pred_mode (all 3 FL bins, LSB first)
 CBP_LUMA = 73
 CBP_CHROMA = 77
 CBF = 85          # + 4 * ctxBlockCat + ctxIdxInc

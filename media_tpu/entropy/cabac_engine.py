@@ -69,6 +69,9 @@ class CabacEncoder:
         self.bits_outstanding = 0
         self.first_bit = True
         self._bits: list[int] = []
+        # Optional (NUM_CTX, 2) bin counter for init-table fitting
+        # (tools/fit_cabac_init.py); None on the normal path.
+        self.stats = None
 
     # -- bit plumbing (9.3.4.3: PutBit) --
     def _put_bit(self, b: int) -> None:
@@ -96,6 +99,8 @@ class CabacEncoder:
     # -- normative coding modes --
     def encode_bin(self, ctx, idx: int, bin_val: int) -> None:
         """Regular (context-coded) bin. ctx: ContextModels; idx: ctxIdx."""
+        if self.stats is not None:
+            self.stats[idx, 1 if bin_val else 0] += 1
         state = ctx.state[idx]
         mps = ctx.mps[idx]
         q = (self.range >> 6) & 3

@@ -308,12 +308,14 @@ def _chroma_blocks(enc_or_dec, ctx, st, r, c, cbp_chroma, cdc_rc, cac_rc,
 
 
 def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
-                       qp: int) -> bytes:
+                       qp: int, cabac_init_idc: int = 0,
+                       stats=None) -> bytes:
     """P-slice slice_data as CABAC RBSP payload (caller handles the slice
     header and the cabac_alignment_one_bit padding before it)."""
     R, C = mv.shape[:2]
-    ctx = cc.ContextModels(qp)
+    ctx = cc.ContextModels(qp, cabac_init_idc, slice_type="P")
     enc = CabacEncoder()
+    enc.stats = stats
     st = _CbfState(R, C)
     mv_map: dict = {}
     mvd_map: dict = {}
@@ -383,9 +385,10 @@ def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
     return enc.get_bytes()
 
 
-def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
+def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
+                       cabac_init_idc: int = 0):
     """Inverse of write_pslice_cabac. Returns dict of symbol arrays."""
-    ctx = cc.ContextModels(qp)
+    ctx = cc.ContextModels(qp, cabac_init_idc, slice_type="P")
     dec = CabacDecoder(data, bitpos)
     st = _CbfState(R, C)
     mv = np.zeros((R, C, 2), np.int32)
@@ -478,8 +481,6 @@ def _i16_mb_type_bins(enc, ctx, cbp_luma, cbp_chroma, mode, avail_inc):
 
 
 def _i16_mb_type_parse(dec, ctx, avail_inc):
-    if not dec.decode_bin(ctx, cc.MB_TYPE_I + avail_inc):
-        raise ValueError("I_NxN unsupported in CABAC I slices")
     if dec.decode_terminate():
         raise ValueError("I_PCM unsupported")
     cbp_luma = 15 if dec.decode_bin(ctx, cc.MB_TYPE_I + 3) else 0
@@ -491,17 +492,101 @@ def _i16_mb_type_parse(dec, ctx, avail_inc):
     return cbp_luma, cbp_chroma, mode
 
 
+def _i4_pred_mode(mode_grid, gy, gx):
+    """predIntra4x4PredMode (spec 8.3.1.1) — shared rule with the CAVLC
+    coder (pipeline/slice_coder._i4_pred_mode)."""
+    a = int(mode_grid[gy, gx - 1]) if gx > 0 else -1
+    b = int(mode_grid[gy - 1, gx]) if gy > 0 else -1
+    a = 2 if a < 0 else a
+    b = 2 if b < 0 else b
+    return min(a, b)
+
+
 def write_islice_cabac(mode16, chroma_mode, dc_levels, ac_levels,
-                       cdc_levels, cac_levels, qp: int) -> bytes:
-    """I-slice slice_data (all I_16x16) as CABAC RBSP payload."""
+                       cdc_levels, cac_levels, qp: int,
+                       stats=None, is_i4=None, modes4=None,
+                       luma4_levels=None) -> bytes:
+    """I-slice slice_data (I_16x16 + optional I_4x4 MBs) as CABAC RBSP
+    payload. modes4: (R, C, 16) z-scan 4x4 modes; luma4_levels:
+    (R, C, 16, 16) zig-zag per raster block (the CAVLC twin's layout)."""
     R, C = mode16.shape
-    ctx = cc.ContextModels(qp)
+    ctx = cc.ContextModels(qp, slice_type="I")
     enc = CabacEncoder()
+    enc.stats = stats
     st = _CbfState(R, C)
     cm_map = np.zeros((R, C), np.int32)
+    i4_map = np.zeros((R, C), bool)
+    cbp_map = np.zeros((R, C), np.int32)
+    mode_grid = np.full((R * 4, C * 4), -1, np.int32)
 
     for r in range(R):
         for c in range(C):
+            # mb_type bin 0 ctxIdxInc: condTermFlagN = avail && !I_NxN
+            avail_inc = ((1 if c > 0 and not i4_map[r, c - 1] else 0)
+                         + (1 if r > 0 and not i4_map[r - 1, c] else 0))
+            mb_i4 = is_i4 is not None and bool(is_i4[r, c])
+            if mb_i4:
+                i4_map[r, c] = True
+                enc.encode_bin(ctx, cc.MB_TYPE_I + avail_inc, 0)  # I_NxN
+                for zi in range(16):
+                    bi = int(ZSCAN_TO_RASTER[zi])
+                    gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
+                    pred = _i4_pred_mode(mode_grid, gy, gx)
+                    m = int(modes4[r, c, zi])
+                    if m == pred:
+                        enc.encode_bin(ctx, cc.I4_PRED_FLAG, 1)
+                    else:
+                        enc.encode_bin(ctx, cc.I4_PRED_FLAG, 0)
+                        rem = m - 1 if m > pred else m
+                        for k in range(3):  # rem: 3 FL bins, ctx 69
+                            enc.encode_bin(ctx, cc.I4_PRED_REM,
+                                           (rem >> k) & 1)
+                    mode_grid[gy, gx] = m
+                cm = int(chroma_mode[r, c])
+                inc = ((1 if c > 0 and cm_map[r, c - 1] else 0)
+                       + (1 if r > 0 and cm_map[r - 1, c] else 0))
+                _enc_tu(enc, ctx, cm, 3,
+                        lambda k, inc=inc: cc.CHROMA_PRED
+                        + (inc if k == 0 else 3))
+                cm_map[r, c] = cm
+                lv4 = luma4_levels[r, c]
+                cbp_luma = 0
+                for g8 in range(4):
+                    blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+                    if any(np.any(lv4[b]) for b in blks):
+                        cbp_luma |= 1 << g8
+                if np.any(cac_levels[r, c]):
+                    cbp_chroma = 2
+                elif np.any(cdc_levels[r, c]):
+                    cbp_chroma = 1
+                else:
+                    cbp_chroma = 0
+                cbp_l_a = int(cbp_map[r, c - 1]) & 15 if c > 0 else None
+                cbp_l_b = int(cbp_map[r - 1, c]) & 15 if r > 0 else None
+                cbp_c_a = int(cbp_map[r, c - 1]) >> 4 if c > 0 else None
+                cbp_c_b = int(cbp_map[r - 1, c]) >> 4 if r > 0 else None
+                _enc_cbp(enc, ctx, cbp_luma, cbp_chroma, cbp_l_a, cbp_l_b,
+                         cbp_c_a, cbp_c_b)
+                cbp_map[r, c] = cbp_luma | (cbp_chroma << 4)
+                if cbp_luma or cbp_chroma:
+                    enc.encode_bin(ctx, cc.MB_QP_DELTA, 0)
+                st.luma_dc[r, c] = 0
+                for g8 in range(4):
+                    blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
+                    if not (cbp_luma >> g8) & 1:
+                        for b in blks:
+                            st.luma[r * 4 + b // 4, c * 4 + b % 4] = 0
+                        continue
+                    for b in blks:
+                        by, bx = r * 4 + b // 4, c * 4 + b % 4
+                        cbf = _enc_block(enc, ctx, 2, lv4[b].tolist(),
+                                         st.inc_luma(by, bx))
+                        st.luma[by, bx] = cbf
+                _chroma_blocks(enc, ctx, st, r, c, cbp_chroma,
+                               cdc_levels[r, c], cac_levels[r, c], write=True)
+                enc.encode_terminate(
+                    1 if (r == R - 1 and c == C - 1) else 0)
+                continue
             cbp_luma = 15 if np.any(ac_levels[r, c]) else 0
             if np.any(cac_levels[r, c]):
                 cbp_chroma = 2
@@ -509,10 +594,9 @@ def write_islice_cabac(mode16, chroma_mode, dc_levels, ac_levels,
                 cbp_chroma = 1
             else:
                 cbp_chroma = 0
-            # Both neighbors (when present) are I_16x16 => condTerm 1 each.
-            avail_inc = (1 if c > 0 else 0) + (1 if r > 0 else 0)
             _i16_mb_type_bins(enc, ctx, cbp_luma, cbp_chroma,
                               int(mode16[r, c]), avail_inc)
+            cbp_map[r, c] = cbp_luma | (cbp_chroma << 4)
             cm = int(chroma_mode[r, c])
             inc = ((1 if c > 0 and cm_map[r, c - 1] else 0)
                    + (1 if r > 0 and cm_map[r - 1, c] else 0))
@@ -541,7 +625,7 @@ def write_islice_cabac(mode16, chroma_mode, dc_levels, ac_levels,
 
 
 def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
-    ctx = cc.ContextModels(qp)
+    ctx = cc.ContextModels(qp, slice_type="I")
     dec = CabacDecoder(data, bitpos)
     st = _CbfState(R, C)
     mode16 = np.zeros((R, C), np.int32)
@@ -551,11 +635,70 @@ def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
     cdc = np.zeros((R, C, 2, 4), np.int32)
     cac = np.zeros((R, C, 2, 4, 15), np.int32)
     cm_map = np.zeros((R, C), np.int32)
+    is_i4 = np.zeros((R, C), bool)
+    modes4 = np.zeros((R, C, 16), np.int32)
+    luma4 = np.zeros((R, C, 16, 16), np.int32)
+    cbp_map = np.zeros((R, C), np.int32)
+    mode_grid = np.full((R * 4, C * 4), -1, np.int32)
 
     for r in range(R):
         for c in range(C):
-            avail_inc = (1 if c > 0 else 0) + (1 if r > 0 else 0)
+            avail_inc = ((1 if c > 0 and not is_i4[r, c - 1] else 0)
+                         + (1 if r > 0 and not is_i4[r - 1, c] else 0))
+            if not dec.decode_bin(ctx, cc.MB_TYPE_I + avail_inc):
+                # I_NxN (I_4x4: no 8x8 transform flag in this profile set)
+                is_i4[r, c] = True
+                for zi in range(16):
+                    bi = int(ZSCAN_TO_RASTER[zi])
+                    gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
+                    pred = _i4_pred_mode(mode_grid, gy, gx)
+                    if dec.decode_bin(ctx, cc.I4_PRED_FLAG):
+                        m = pred
+                    else:
+                        rem = 0
+                        for k in range(3):
+                            rem |= dec.decode_bin(ctx, cc.I4_PRED_REM) << k
+                        m = rem if rem < pred else rem + 1
+                    modes4[r, c, zi] = m
+                    mode_grid[gy, gx] = m
+                inc = ((1 if c > 0 and cm_map[r, c - 1] else 0)
+                       + (1 if r > 0 and cm_map[r - 1, c] else 0))
+                cm = _dec_tu(dec, ctx, 3,
+                             lambda k, inc=inc: cc.CHROMA_PRED
+                             + (inc if k == 0 else 3))
+                chroma_mode[r, c] = cm
+                cm_map[r, c] = cm
+                cbp_l_a = int(cbp_map[r, c - 1]) & 15 if c > 0 else None
+                cbp_l_b = int(cbp_map[r - 1, c]) & 15 if r > 0 else None
+                cbp_c_a = int(cbp_map[r, c - 1]) >> 4 if c > 0 else None
+                cbp_c_b = int(cbp_map[r - 1, c]) >> 4 if r > 0 else None
+                cbp_luma, cbp_chroma = _dec_cbp(dec, ctx, cbp_l_a, cbp_l_b,
+                                                cbp_c_a, cbp_c_b)
+                cbp_map[r, c] = cbp_luma | (cbp_chroma << 4)
+                if (cbp_luma or cbp_chroma) and dec.decode_bin(
+                        ctx, cc.MB_QP_DELTA):
+                    raise ValueError("mb_qp_delta != 0 unsupported")
+                st.luma_dc[r, c] = 0
+                for g8 in range(4):
+                    blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k])
+                            for k in range(4)]
+                    if not (cbp_luma >> g8) & 1:
+                        for b in blks:
+                            st.luma[r * 4 + b // 4, c * 4 + b % 4] = 0
+                        continue
+                    for b in blks:
+                        by, bx = r * 4 + b // 4, c * 4 + b % 4
+                        levels, cbf = _dec_block(dec, ctx, 2,
+                                                 st.inc_luma(by, bx))
+                        luma4[r, c, b] = levels
+                        st.luma[by, bx] = cbf
+                _chroma_blocks(dec, ctx, st, r, c, cbp_chroma,
+                               cdc[r, c], cac[r, c], write=False)
+                if dec.decode_terminate():
+                    break
+                continue
             cbp_luma, cbp_chroma, mode = _i16_mb_type_parse(dec, ctx, avail_inc)
+            cbp_map[r, c] = cbp_luma | (cbp_chroma << 4)
             mode16[r, c] = mode
             inc = ((1 if c > 0 and cm_map[r, c - 1] else 0)
                    + (1 if r > 0 and cm_map[r - 1, c] else 0))
@@ -584,4 +727,5 @@ def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
             continue
         break
     return {"mode16": mode16, "chroma_mode": chroma_mode, "dc_levels": dc,
-            "ac_levels": ac, "cdc_levels": cdc, "cac_levels": cac}
+            "ac_levels": ac, "cdc_levels": cdc, "cac_levels": cac,
+            "is_i4": is_i4, "modes4": modes4, "luma4_levels": luma4}

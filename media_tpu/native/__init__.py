@@ -26,10 +26,12 @@ _TRIED = False
 
 def _build_lib() -> str | None:
     """Compile (if needed) and return the .so path, or None on failure."""
-    src = os.path.join(_CSRC, "cavlc_pack.cpp")
+    srcs = [os.path.join(_CSRC, "cavlc_pack.cpp"),
+            os.path.join(_CSRC, "cabac_pack.cpp")]
     gen = os.path.join(_CSRC, "gen_tables.py")
     inc = os.path.join(_CSRC, "cavlc_tables.inc")
-    if not os.path.exists(src):
+    srcs = [s_ for s_ in srcs if os.path.exists(s_)]
+    if not srcs:
         return None
     build_dir = os.path.join(_CSRC, "build")
     os.makedirs(build_dir, exist_ok=True)
@@ -40,14 +42,14 @@ def _build_lib() -> str | None:
             capture_output=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ""},
         )
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read())
-    with open(inc, "rb") as f:
-        digest.update(f.read())
+    digest = hashlib.sha256()
+    for path in srcs + [inc]:
+        with open(path, "rb") as f:
+            digest.update(f.read())
     so_path = os.path.join(build_dir, f"libmediatpu_{digest.hexdigest()[:16]}.so")
     if not os.path.exists(so_path):
         tmp = so_path + ".tmp"
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, cwd=_CSRC)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -87,6 +89,19 @@ def _load():
         ]
         lib.mtpu_escape_rbsp.restype = ctypes.c_int64
         lib.mtpu_escape_rbsp.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        if hasattr(lib, "mtpu_cabac_write_slice_p"):
+            lib.mtpu_cabac_write_slice_p.restype = ctypes.c_int64
+            lib.mtpu_cabac_write_slice_p.argtypes = [
+                i32p, i32p, i32p, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+                u8p, ctypes.c_int64,
+            ]
+            lib.mtpu_cabac_write_slice_i.restype = ctypes.c_int64
+            lib.mtpu_cabac_write_slice_i.argtypes = [
+                i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+                u8p, ctypes.c_int64,
+            ]
         _LIB = lib
         return _LIB
 
@@ -211,3 +226,60 @@ def build_capi() -> str | None:
         return None
     os.replace(tmp, so_path)
     return so_path
+
+
+def cabac_write_pslice_native(mv, luma, cdc, cac, qp: int,
+                              cabac_init_idc: int = 0) -> bytes | None:
+    """CABAC P-slice payload via the C++ packer; None -> caller falls back
+    to the Python coder. Byte-identical to
+    entropy.cabac_slice.write_pslice_cabac (tests)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_cabac_write_slice_p"):
+        return None
+    from ..entropy.cabac_init_tables import INIT_MN_P
+
+    R, C = mv.shape[:2]
+    cap = R * C * 4096 + 65536
+    out = np.empty(cap, np.uint8)
+    holders, ptrs = [], []
+    for a in (mv, luma, cdc, cac):
+        arr, p = _i32(a)
+        holders.append(arr)
+        ptrs.append(p)
+    init, init_p = _i32(INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
+    n = lib.mtpu_cabac_write_slice_p(
+        *ptrs, R, C, int(qp), init_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def cabac_write_islice_native(mode16, chroma_mode, dc, ac, cdc, cac,
+                              qp: int, is_i4=None, modes4=None,
+                              luma4_levels=None) -> bytes | None:
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_cabac_write_slice_i"):
+        return None
+    from ..entropy.cabac_init_tables import INIT_MN_I
+
+    R, C = mode16.shape
+    if is_i4 is None:
+        is_i4 = np.zeros((R, C), np.int32)
+        modes4 = np.zeros((R, C, 16), np.int32)
+        luma4_levels = np.zeros((R, C, 16, 16), np.int32)
+    cap = R * C * 4096 + 65536
+    out = np.empty(cap, np.uint8)
+    holders, ptrs = [], []
+    for a in (mode16, chroma_mode, dc, ac, cdc, cac,
+              is_i4, modes4, luma4_levels):
+        arr, p = _i32(a)
+        holders.append(arr)
+        ptrs.append(p)
+    init, init_p = _i32(INIT_MN_I)
+    n = lib.mtpu_cabac_write_slice_i(
+        *ptrs, R, C, int(qp), init_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -67,9 +67,13 @@ class EncoderConfig:
     # I_4x4 intra prediction (9 directional modes, per-MB I4x4/I16 decision)
     # in I frames — the biggest intra quality lever below 16x16 granularity.
     i4x4: bool = False
+    # P-slice CABAC context-init set (slice header cabac_init_idc, spec
+    # 9.3.1.1): selects one of three fitted (m, n) tables; see
+    # entropy/cabac_init_tables.py for provenance.
+    cabac_init_idc: int = 0
     # Per-MB QP modulation (mb_qp_delta) under CBR: realizes fractional QP,
     # tightening rate granularity from one QP step (~12% bits) to ~1%.
-    # Requires deblock=False until the filter does per-edge QP averaging.
+    # Composes with deblock (spec 8.7.2 per-edge qPav thresholds).
     adaptive_qp: bool = False
 
 
@@ -89,12 +93,6 @@ class EncoderSession:
             self.sps.profile_idc = max(self.sps.profile_idc,
                                        PROFILE_BY_NAME["main"])
             self.pps.entropy_coding_mode = 1
-            if cfg.rc_mode != "cq":
-                raise ValueError("cabac=True currently requires rc_mode='cq'")
-        if cfg.adaptive_qp and cfg.deblock:
-            raise ValueError("adaptive_qp=True requires deblock=False "
-                             "(per-edge QP averaging in the deblocking "
-                             "filter is not implemented yet)")
         pad_w = self.sps.pic_width_in_mbs * 16
         pad_h = self.sps.pic_height_in_mbs * 16
         n_rows = self.sps.pic_height_in_mbs
@@ -117,6 +115,9 @@ class EncoderSession:
         self.idr_pic_id = 0
         self._force_idr = False
         self.recon = None  # (y, u, v) reference planes
+        # High-water-mark of per-frame slice_data bits, for right-sizing the
+        # device stream buffer (the buffer is downloaded every frame).
+        self._bits_hwm: int | None = None
         # CBR state: virtual buffer + complexity model (bits*qstep EWMA).
         target = cfg.bitrate / max(cfg.framerate, 1)
         self._rc_target = target
@@ -130,6 +131,37 @@ class EncoderSession:
         """Analog of the reference's keyframe poll + ForceIntraFrame
         (VideoEncoderOpenH264.cpp:333-341,406-410)."""
         self._force_idr = True
+
+    def _device_cap(self) -> int:
+        """Static word size for the per-frame device stream buffer.
+
+        Bucketed power of two at >= 4x the recent high-water-mark of frame
+        bits (min 64 KiB): the buffer is downloaded per frame, so it is
+        sized near the real bitrate rather than the worst-case budget.
+        Overflow retries the chunk at the full budget (still on device);
+        power-of-two bucketing bounds recompiles to a handful per session.
+        """
+        full = self._frame_encoder.cap_words
+        if self._bits_hwm is None:
+            return full
+        want = (self._bits_hwm * 4) // 32
+        cap = 16384
+        while cap < want:
+            cap *= 2
+        return min(cap, full)
+
+    def _note_bits(self, max_bits: int) -> None:
+        """Track the per-frame bits high-water-mark (slow 10% decay so the
+        cap can shrink after a transient)."""
+        hwm = self._bits_hwm
+        self._bits_hwm = (max_bits if hwm is None
+                          else max(max_bits, int(hwm * 0.9)))
+
+    @staticmethod
+    def _prefix_words(max_bits: int, cap: int) -> int:
+        from .encoder import stream_prefix_words
+
+        return stream_prefix_words(max_bits, cap)
 
     def encode_frame(self, i420: bytes | np.ndarray) -> bytes:
         """Encode one I420 frame; returns the Annex-B bytes for this AU."""
@@ -216,19 +248,34 @@ class EncoderSession:
 
         for ys_d, us_d, vs_d, ys, us, vs, k in chunks:
             prev_recon = self.recon
+            cap = self._device_cap()
             streams_d, bits_d, recon = enc.encode_pframes_packed_dev(
-                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock
+                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock,
+                cap=cap,
             )
             self.recon = tuple(recon)
             frame_base = self.frame_idx
             self.frame_idx += k
 
-            def finish(streams_d=streams_d, bits_d=bits_d, k=k,
+            def finish(streams_d=streams_d, bits_d=bits_d, k=k, cap=cap,
                        prev_recon=prev_recon, ys=ys, us=us, vs=vs,
                        frame_base=frame_base) -> list[bytes]:
                 bits = np.asarray(bits_d)
-                if int(bits.max()) <= enc.cap_words * 32:
-                    streams = np.asarray(streams_d)
+                if int(bits.max()) > cap * 32 and cap < enc.cap_words:
+                    # Adaptive cap overflowed: retry on device at full budget
+                    # (bitstream is identical; only the buffer size differs).
+                    streams, bits, _recon = enc.encode_pframes_packed(
+                        ys, us, vs, *prev_recon, cfg.qp, deblock=cfg.deblock,
+                        cap=enc.cap_words)
+                    streams_np, cap_eff = streams, enc.cap_words
+                else:
+                    streams_np, cap_eff = None, cap
+                self._note_bits(int(bits.max()))
+                if int(bits.max()) <= cap_eff * 32:
+                    if streams_np is None:
+                        nw = self._prefix_words(int(bits.max()), cap_eff)
+                        streams_np = np.asarray(streams_d[:, :nw])
+                    streams = streams_np
                     return [
                         self._pslice_au_packed(
                             streams[j], int(bits[j]), frame_idx=frame_base + j)
@@ -290,6 +337,17 @@ class EncoderSession:
             until_idr = cfg.gop_size - (self.frame_idx % cfg.gop_size)
             k = min(len(planes) - i, until_idr)
             enc = self._frame_encoder
+            if cfg.rc_mode == "cbr" and cfg.cabac:
+                # CABAC CBR: per-frame host loop with EXACT CABAC bit
+                # accounting (the on-device CBR loop's bit feedback is the
+                # CAVLC packer's; CABAC sizes differ ~10%, so the virtual
+                # buffer must integrate the real emitted bits).
+                drain(0)
+                for j in range(k):
+                    out.append(self._encode_p_cbr_cabac(*planes[i + j]))
+                    self.frame_idx += 1
+                i += k
+                continue
             if cfg.rc_mode == "cbr":
                 drain(0)
                 ys = np.stack([p[0] for p in planes[i : i + k]])
@@ -327,19 +385,33 @@ class EncoderSession:
             vs = np.stack([p[2] for p in planes[i : i + k]])
             ys_d, us_d, vs_d = map(jax.device_put, (ys, us, vs))
             prev_recon = self.recon
+            cap = self._device_cap()
             streams_d, bits_d, recon = enc.encode_pframes_packed_dev(
-                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock
+                ys_d, us_d, vs_d, prev_recon, cfg.qp, deblock=cfg.deblock,
+                cap=cap,
             )
             self.recon = tuple(recon)
             frame_base = self.frame_idx
             self.frame_idx += k
 
-            def finish(streams_d=streams_d, bits_d=bits_d, k=k,
+            def finish(streams_d=streams_d, bits_d=bits_d, k=k, cap=cap,
                        prev_recon=prev_recon, ys=ys, us=us, vs=vs,
                        frame_base=frame_base) -> list[bytes]:
                 bits = np.asarray(bits_d)
-                if int(bits.max()) <= enc.cap_words * 32:
-                    streams = np.asarray(streams_d)
+                if int(bits.max()) > cap * 32 and cap < enc.cap_words:
+                    # Adaptive cap overflowed: retry on device at full budget.
+                    streams, bits, _recon = enc.encode_pframes_packed(
+                        ys, us, vs, *prev_recon, cfg.qp, deblock=cfg.deblock,
+                        cap=enc.cap_words)
+                    streams_np, cap_eff = streams, enc.cap_words
+                else:
+                    streams_np, cap_eff = None, cap
+                self._note_bits(int(bits.max()))
+                if int(bits.max()) <= cap_eff * 32:
+                    if streams_np is None:
+                        nw = self._prefix_words(int(bits.max()), cap_eff)
+                        streams_np = np.asarray(streams_d[:, :nw])
+                    streams = streams_np
                     return [
                         self._pslice_au_packed(
                             streams[j], int(bits[j]), frame_idx=frame_base + j)
@@ -369,10 +441,20 @@ class EncoderSession:
         """CBR path: on-device rate-controlled batch; per-frame QP in headers."""
         cfg = self.cfg
         enc = self._frame_encoder
+        cap = self._device_cap()
         streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
             ys, us, vs, *self.recon, self.rc_state, int(self._rc_target),
-            deblock=cfg.deblock, adaptive_qp=cfg.adaptive_qp,
+            deblock=cfg.deblock, adaptive_qp=cfg.adaptive_qp, cap=cap,
         )
+        if int(bits.max()) > cap * 32 and cap < enc.cap_words:
+            # Adaptive stream cap overflowed: retry at the full budget
+            # (identical result; only the buffer size differs).
+            streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
+                ys, us, vs, *self.recon, self.rc_state, int(self._rc_target),
+                deblock=cfg.deblock, adaptive_qp=cfg.adaptive_qp,
+                cap=enc.cap_words,
+            )
+        self._note_bits(int(bits.max()))
         out = []
         if len(self.slice_rows) == 1 and int(bits.max()) <= enc.cap_words * 32:
             self.recon = recon
@@ -449,6 +531,7 @@ class EncoderSession:
             first_mb_in_slice=first_mb,
             slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=self._deblock_idc,
+            cabac_init_idc=self.cfg.cabac_init_idc,
         )
         hdr.write(bw, self.sps, self.pps)
         return bw
@@ -463,14 +546,23 @@ class EncoderSession:
             bw = self._pslice_header_writer(qp, first_mb=r0 * n_cols,
                                             frame_idx=frame_idx)
             if self.cfg.cabac:
-                from ..entropy.cabac_slice import write_pslice_cabac
+                from .. import native
 
                 while not bw.byte_aligned():
                     bw.u(1, 1)  # cabac_alignment_one_bit (7.3.4)
-                payload = write_pslice_cabac(
+                qp_eff = self.cfg.qp if qp is None else qp
+                payload = native.cabac_write_pslice_native(
                     fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
                     fields["cdc_levels"][r0:r1], fields["cac_levels"][r0:r1],
-                    self.cfg.qp if qp is None else qp)
+                    qp_eff, cabac_init_idc=self.cfg.cabac_init_idc)
+                if payload is None:
+                    from ..entropy.cabac_slice import write_pslice_cabac
+
+                    payload = write_pslice_cabac(
+                        fields["mv"][r0:r1], fields["luma_levels"][r0:r1],
+                        fields["cdc_levels"][r0:r1],
+                        fields["cac_levels"][r0:r1], qp_eff,
+                        cabac_init_idc=self.cfg.cabac_init_idc)
                 au += wrap_nal(H264NalType.SLICE, bw.get_bytes() + payload,
                                nal_ref_idc=2)
                 continue
@@ -491,16 +583,25 @@ class EncoderSession:
 
     # ------------------------------------------------------------------- IDR
 
+    def _idr_qp(self) -> int:
+        if self.cfg.rc_mode == "cbr":
+            # I frames: slightly below the running P QP, budgeted separately.
+            return int(np.clip(round(self.rc_state["qp"]) - 2, 10, 46))
+        return self.cfg.qp
+
     def _encode_idr(self, y, u, v) -> bytes:
         cfg = self.cfg
-        if cfg.rc_mode == "cbr":
-            # I frames: slightly below the running P QP, budgeted separately.
-            qp_i = int(np.clip(round(self.rc_state["qp"]) - 2, 10, 46))
-        else:
-            qp_i = cfg.qp
+        qp_i = self._idr_qp()
         result = self._frame_encoder.encode_iframe(y, u, v, qp_i,
                                                    deblock=cfg.deblock,
                                                    i4x4=cfg.i4x4)
+        return self._idr_au_from_result(result, qp_i)
+
+    def _idr_au_from_result(self, result, qp_i: int) -> bytes:
+        """Assemble the IDR AU (SPS+PPS+slice NALs) from an IFrameResult —
+        shared by the single-chip path and the sharded session (which
+        computes the same result tile-parallel)."""
+        cfg = self.cfg
         self.recon = (result.recon_y, result.recon_u, result.recon_v)
         self.frame_idx_of_idr = self.frame_idx
 
@@ -521,14 +622,26 @@ class EncoderSession:
             )
             hdr.write(bw, self.sps, self.pps)
             if cfg.cabac:
-                from ..entropy.cabac_slice import write_islice_cabac
-
                 while not bw.byte_aligned():
                     bw.u(1, 1)  # cabac_alignment_one_bit
-                payload = write_islice_cabac(
+                i4_kw = {}
+                if result.is_i4 is not None:
+                    i4_kw = dict(is_i4=result.is_i4[r0:r1],
+                                 modes4=result.modes4[r0:r1],
+                                 luma4_levels=result.luma4_levels[r0:r1])
+                payload = native.cabac_write_islice_native(
                     result.mode16[r0:r1], result.chroma_mode[r0:r1],
                     result.dc_levels[r0:r1], result.ac_levels[r0:r1],
-                    result.cdc_levels[r0:r1], result.cac_levels[r0:r1], qp_i)
+                    result.cdc_levels[r0:r1], result.cac_levels[r0:r1], qp_i,
+                    **i4_kw)
+                if payload is None:
+                    from ..entropy.cabac_slice import write_islice_cabac
+
+                    payload = write_islice_cabac(
+                        result.mode16[r0:r1], result.chroma_mode[r0:r1],
+                        result.dc_levels[r0:r1], result.ac_levels[r0:r1],
+                        result.cdc_levels[r0:r1], result.cac_levels[r0:r1],
+                        qp_i, **i4_kw)
                 slice_nals += wrap_nal(H264NalType.IDR_SLICE,
                                        bw.get_bytes() + payload,
                                        nal_ref_idc=3)
@@ -574,12 +687,50 @@ class EncoderSession:
             # Charge the I frame against the buffer at an allowance of 4x the
             # per-frame target (typical I/P size ratio at equal quality).
             self.rc_state["buf"] += len(au) * 8 - 4 * self._rc_target
+        # Seed the stream-buffer high-water-mark (conservative: I frames are
+        # typically ~4x the following P frames).
+        self._note_bits(len(au) * 8)
         return au
 
     # --------------------------------------------------------------------- P
 
+    def _encode_p_cbr_cabac(self, y, u, v, qp_min: int = 12,
+                            qp_max: int = 44) -> bytes:
+        """One CBR P frame with CABAC entropy: the same virtual-buffer /
+        complexity model as the device loop (encoder.py
+        _encode_pbatch_cbr_device), but integrating the EXACT CABAC AU size
+        on the host. Per-frame QP rides in the slice header."""
+        import math
+
+        cfg = self.cfg
+        st = self.rc_state
+        target = self._rc_target
+        adj_target = max(target - 0.35 * st["buf"], 0.25 * target)
+        want_qstep = min(max(st["cplx"] / adj_target, 0.625), 1024.0)
+        qp_f = min(max(6.0 * math.log2(want_qstep / 0.625), qp_min), qp_max)
+        qp = int(round(qp_f))
+        ref_y, ref_u, ref_v = self.recon
+        result = self._frame_encoder.encode_pframe(
+            y, u, v, ref_y, ref_u, ref_v, qp, deblock=cfg.deblock)
+        self.recon = (result.recon_y, result.recon_u, result.recon_v)
+        fields = {
+            "mv": result.mv,
+            "luma_levels": result.luma_levels,
+            "cdc_levels": result.cdc_levels,
+            "cac_levels": result.cac_levels,
+        }
+        au = self._pslice_au(fields, qp=qp)
+        bits = len(au) * 8
+        st["cplx"] = 0.75 * st["cplx"] + 0.25 * bits * (
+            0.625 * 2.0 ** (qp_f / 6.0))
+        st["buf"] += bits - target
+        st["qp"] = qp_f
+        return au
+
     def _encode_p(self, y, u, v) -> bytes:
         cfg = self.cfg
+        if cfg.rc_mode == "cbr" and cfg.cabac:
+            return self._encode_p_cbr_cabac(y, u, v)
         if cfg.rc_mode == "cbr":
             aus = self._encode_p_run_cbr(y[None], u[None], v[None], 1)
             self.frame_idx -= 1  # the run helper incremented; encode_frame will too

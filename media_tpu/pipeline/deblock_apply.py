@@ -104,7 +104,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _wave_layout(R: int, C: int):
+def _wave_layout(R: int, C: int, unroll: int = 1):
     """Static wave-major layout for the skew schedule w = 2r + c.
 
     Lanes within wave k are indexed by r ascending from r0(k). Neighbor MBs
@@ -112,11 +112,16 @@ def _wave_layout(R: int, C: int):
     that is CONSTANT within each wave (shift in {-1,0,1}), so the whole scan
     runs on contiguous dynamic slices — no per-wave gathers or scatters.
     Two dummy wave slots are prepended so k-1/k-2 never need clamping.
+
+    unroll: pad the wave count to a multiple of this so the scan can process
+    `unroll` consecutive waves per step (the padding waves have no valid
+    lanes; their writes are masked to identity).
     """
-    n_waves = 2 * (R - 1) + C if R > 0 else 0
+    n_real = 2 * (R - 1) + C if R > 0 else 0
+    n_waves = -(-n_real // unroll) * unroll if n_real else 0
     r0 = np.zeros(n_waves, np.int32)
     ln = np.zeros(n_waves, np.int32)
-    for k in range(n_waves):
+    for k in range(n_real):
         lo = max(0, -(-(k - C + 1) // 2))  # ceil((k-C+1)/2)
         hi = min(R - 1, k // 2)
         r0[k] = lo
@@ -129,7 +134,7 @@ def _wave_layout(R: int, C: int):
     perm_from = np.zeros(R * C, np.int64)
     # wave-major lane -> flat raster index (sentinel R*C for padding)
     perm_to = np.full((n_waves + 2) * LW, R * C, np.int64)
-    for k in range(n_waves):
+    for k in range(n_real):
         for i in range(ln[k]):
             r = r0[k] + i
             c = k - 2 * r
@@ -137,10 +142,9 @@ def _wave_layout(R: int, C: int):
             perm_from[r * C + c] = (k + 2) * LW + 1 + i
             perm_to[(k + 2) * LW + 1 + i] = r * C + c
     # neighbor lane shifts per wave (left: same r in wave k-1; top: r-1 in k-2)
-    r0p = np.concatenate([[0, 0], r0])  # padded so k-1/k-2 index safely
     s_left = np.zeros(n_waves, np.int32)
     s_top = np.zeros(n_waves, np.int32)
-    for k in range(n_waves):
+    for k in range(n_real):
         s_left[k] = r0[k] - (r0[k - 1] if k >= 1 else 0)
         s_top[k] = r0[k] - 1 - (r0[k - 2] if k >= 2 else 0)
     s_left = np.clip(s_left, -1, 1)
@@ -179,7 +183,12 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
     spec 8.7.2: each MB-boundary edge uses qPav = (QPp + QPq + 1) >> 1 of
     the two adjoining MBs (chroma averages the per-MB QPc values), internal
     edges use the MB's own QP; qp/qp_c are ignored."""
-    lay = _wave_layout(R, C)
+    # Scan-step unroll: process UNROLL consecutive waves per lax.scan step.
+    # The wave math is unchanged (sub-waves stay sequential inside the body);
+    # this trades 2R+C tiny scan steps — whose per-step dispatch dominates —
+    # for (2R+C)/UNROLL fatter ones XLA can fuse across.
+    UNROLL = 8
+    lay = _wave_layout(R, C, UNROLL)
     n_waves, LW, maxw = lay["n_waves"], lay["LW"], lay["maxw"]
     n_slots = (n_waves + 2) * LW
     per_mb = qp_map is not None
@@ -253,14 +262,20 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
     Yw = Yw.reshape(n_waves + 2, LW, 16, 16)
     Uw = Uw.reshape(n_waves + 2, LW, 8, 8)
     Vw = Vw.reshape(n_waves + 2, LW, 8, 8)
-    meta = jnp.concatenate([
+    meta_parts = [
         bsv_mb.reshape(R * C, 16), bsh_mb.reshape(R * C, 16),
         tcv_mb.reshape(R * C, 16), tch_mb.reshape(R * C, 16),
         bsv_mb[:, (0, 2), :].reshape(R * C, 8),
         bsh_mb[:, (0, 2), :].reshape(R * C, 8),
         tccv_mb.reshape(R * C, 8), tcch_mb.reshape(R * C, 8),
-    ], axis=1)
-    Mw = _to_wave(meta, lay["perm_to"], n_slots).reshape(n_waves + 2, LW, 96)
+    ]
+    if per_mb:
+        # Per-edge alpha/beta thresholds ride in the meta tensor too:
+        # luma (8 edges x 2), chroma (4 edges x 2) -> 24 extra columns.
+        meta_parts += [ab_l.reshape(R * C, 16), ab_c.reshape(R * C, 8)]
+    MW = 120 if per_mb else 96
+    meta = jnp.concatenate(meta_parts, axis=1)
+    Mw = _to_wave(meta, lay["perm_to"], n_slots).reshape(n_waves + 2, LW, MW)
 
     valid_w = jnp.asarray(lay["valid"])
     s_left_a = jnp.asarray(lay["s_left"])
@@ -288,7 +303,7 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
             Vw, (K - 1, 1 + s_l, zero, zero), (1, maxw, 8, 8))[0]
         top_v = jax.lax.dynamic_slice(
             Vw, (K - 2, 1 + s_t, zero, zero), (1, maxw, 8, 8))[0]
-        m = jax.lax.dynamic_slice(Mw, (K, 1, zero), (1, maxw, 96))[0]
+        m = jax.lax.dynamic_slice(Mw, (K, 1, zero), (1, maxw, MW))[0]
         vmask = jax.lax.dynamic_slice(valid_w, (K, 1), (1, maxw))[0]
 
         bsv_mb_w = m[:, 0:16].reshape(maxw, 4, 4)
@@ -299,6 +314,14 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
         bsch_mb = m[:, 72:80].reshape(maxw, 2, 4)
         tccv_mb = m[:, 80:88].reshape(maxw, 2, 4)
         tcch_mb = m[:, 88:96].reshape(maxw, 2, 4)
+        if per_mb:
+            ab = m[:, 96:112].reshape(maxw, 8, 2)
+            abc = m[:, 112:120].reshape(maxw, 4, 2)
+            alpha_w, beta_w = ab[:, :, 0], ab[:, :, 1]       # (lanes, 8)
+            alpha_cw, beta_cw = abc[:, :, 0], abc[:, :, 1]   # (lanes, 4)
+        else:
+            alpha_w, beta_w = alpha, beta
+            alpha_cw, beta_cw = alpha_c, beta_c
 
         # Expand to the per-edge lane shapes the filters expect.
         bsv16 = jnp.repeat(bsv_mb_w, 4, axis=2).transpose(1, 0, 2)[..., None]
@@ -329,7 +352,7 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
 
         patch_f, up_f, vp_f = _wave_filters_xla(
             patch, upatch, vpatch, bsv16, tcv16, bsh16, tch16,
-            bscv, tccv, bsch, tcch, alpha, beta, alpha_c, beta_c)
+            bscv, tccv, bsch, tcch, alpha_w, beta_w, alpha_cw, beta_cw)
 
         m3 = vmask[:, None, None]
 
@@ -353,8 +376,14 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
         Vw = put(Vw, jnp.where(m3, vp_f[:, 4:12, 4:12], own_v), (K, 1, zero, zero))
         return (Yw, Uw, Vw), None
 
+    def step_unrolled(carry, kbase):
+        for j in range(UNROLL):
+            carry, _ = step(carry, kbase * UNROLL + j)
+        return carry, None
+
     (Yw, Uw, Vw), _ = jax.lax.scan(
-        step, (Yw, Uw, Vw), jnp.arange(n_waves, dtype=jnp.int32))
+        step_unrolled, (Yw, Uw, Vw),
+        jnp.arange(n_waves // UNROLL, dtype=jnp.int32))
 
     # ---- unshear ----
     pf = jnp.asarray(lay["perm_from"])
@@ -368,12 +397,13 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
     )
 
 
-def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
+def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int, qp_map=None):
     """Deblock one frame in-place-semantics: returns filtered (y, u, v).
 
     y: (16R, 16C) int32; u/v: (8R, 8C); qp/qp_c: scalars (traced ok);
     bs_v/bs_h: (4R, 4C) strengths (vertical edge left of / horizontal edge
-    above each 4x4 luma block; frame borders 0).
+    above each 4x4 luma block; frame borders 0). qp_map: optional (R, C)
+    per-MB luma QP (spec 8.7.2 per-edge qPav thresholds; qp/qp_c ignored).
 
     Default implementation is the wave-major shear (contiguous slices only);
     MEDIA_TPU_DEBLOCK_KERNEL selects the legacy gather/scatter formulation
@@ -382,7 +412,11 @@ def deblock_frame(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int):
     import os
 
     if os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL", "wavemajor") == "wavemajor":
-        return _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R, C)
+        return _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R, C,
+                                        qp_map=qp_map)
+    if qp_map is not None:
+        raise NotImplementedError("per-MB QP deblocking requires the "
+                                  "wave-major kernel")
     return _deblock_frame_gather(y, u, v, qp, qp_c, bs_v, bs_h, R, C)
 
 
@@ -504,7 +538,8 @@ def _zero_slice_boundaries(bs_h, slice_starts):
 
 
 def deblock_pframe_from_symbols(recon_y, recon_u, recon_v, symbols, qp, qp_c,
-                                R: int, C: int, slice_starts: tuple = ()):
+                                R: int, C: int, slice_starts: tuple = (),
+                                qp_map=None):
     """Apply inter deblocking given the packed symbol tensor (device-side)."""
     from ..ops.deblock import inter_bs_grids
     from .pframe_core import unpack_symbols_device
@@ -516,7 +551,8 @@ def deblock_pframe_from_symbols(recon_y, recon_u, recon_v, symbols, qp, qp_c,
     )
     bs_v, bs_h = inter_bs_grids(nnz_grid, mv, R, C)
     bs_h = _zero_slice_boundaries(bs_h, slice_starts)
-    y, u, v = deblock_frame(recon_y, recon_u, recon_v, qp, qp_c, bs_v, bs_h, R, C)
+    y, u, v = deblock_frame(recon_y, recon_u, recon_v, qp, qp_c, bs_v, bs_h,
+                            R, C, qp_map=qp_map)
     return (
         jnp.clip(y, 0, 255).astype(jnp.uint8),
         jnp.clip(u, 0, 255).astype(jnp.uint8),

@@ -188,8 +188,9 @@ def _chroma_recon(pred_c, cdc_c, cac_c, qp_c):
 def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
                          mv, luma, symbols_cdc_cac, deblock: bool, qp,
                          qp_map=None):
-    """qp: slice QP (drives deblocking); qp_map: optional (R, C) per-MB QP
-    for the residual dequant (mb_qp_delta streams, deblock off)."""
+    """qp: slice QP; qp_map: optional (R, C) per-MB QP (mb_qp_delta
+    streams) for the residual dequant and the per-edge qPav deblocking
+    thresholds (spec 8.7.2)."""
     cdc, cac = symbols_cdc_cac
     n = R * C
     qp_c = jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
@@ -231,7 +232,7 @@ def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
             cac.reshape(n, 120).astype(jnp.int16),
         ], axis=-1).reshape(R, C, SYMBOLS_PER_MB)
         ry, ru, rv = deblock_pframe_from_symbols(ry, ru, rv, symbols, qp,
-                                                 qp_c, R, C)
+                                                 qp_c, R, C, qp_map=qp_map)
     return ry, ru, rv
 
 
@@ -287,6 +288,170 @@ def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
         d = T.dequant_4x4(z_ac, qp).at[:, :, 0, 0].set(d_dc.reshape(-1, 16))
         recon = jnp.clip(pred + _blocks_mb(T.inverse_4x4(d)), 0, 255)
 
+        cu_top = state["recon_u"][rm1, cc, 7, :]
+        cu_left = state["recon_u"][rc, cm1, :, 7]
+        cu_tl = state["recon_u"][rm1, cm1, 7, 7]
+        cv_top = state["recon_v"][rm1, cc, 7, :]
+        cv_left = state["recon_v"][rc, cm1, :, 7]
+        cv_tl = state["recon_v"][rm1, cm1, 7, 7]
+        cmode = chroma_mode[rc, cc]
+        preds_u = intra_ops.pred_chroma_all(cu_top, cu_left, cu_tl,
+                                            avail_top, avail_left)
+        preds_v = intra_ops.pred_chroma_all(cv_top, cv_left, cv_tl,
+                                            avail_top, avail_left)
+        pred_u = jnp.take_along_axis(preds_u, cmode[:, None, None, None],
+                                     axis=1)[:, 0]
+        pred_v = jnp.take_along_axis(preds_v, cmode[:, None, None, None],
+                                     axis=1)[:, 0]
+        rec_u = _chroma_recon(pred_u, cdc_levels[rc, cc, 0],
+                              cac_levels[rc, cc, 0], qp_c)
+        rec_v = _chroma_recon(pred_v, cdc_levels[rc, cc, 1],
+                              cac_levels[rc, cc, 1], qp_c)
+
+        def scatter(dst, val):
+            old = dst[rc, cc]
+            val = jnp.where(
+                valid.reshape(valid.shape + (1,) * (val.ndim - 1)), val, old)
+            return dst.at[r, c].set(val, mode="drop")
+
+        state = {
+            "recon_y": scatter(state["recon_y"], recon),
+            "recon_u": scatter(state["recon_u"], rec_u),
+            "recon_v": scatter(state["recon_v"], rec_v),
+        }
+        return state, None
+
+    state, _ = jax.lax.scan(wave_step, state, jnp.arange(n_waves))
+    ry = state["recon_y"].transpose(0, 2, 1, 3).reshape(R * 16, C * 16)
+    ru = state["recon_u"].transpose(0, 2, 1, 3).reshape(R * 8, C * 8)
+    rv = state["recon_v"].transpose(0, 2, 1, 3).reshape(R * 8, C * 8)
+    if deblock:
+        from .deblock_apply import deblock_iframe
+
+        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C)
+    return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
+            rv.astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
+                               chroma_sym, i4_sym, qp, deblock: bool):
+    """Wavefront reconstruction of a mixed I_16x16 / I_4x4 intra frame.
+
+    The decode twin of the encoder's i4x4 wave (encoder.py
+    _encode_iframe_device with i4x4=True): skew-2 schedule (above-right MBs
+    decoded first), per-MB select between the I_16x16 recon and the 16-step
+    z-scan I_4x4 chain — but with the coded modes instead of SATD decisions.
+    i4_sym = (is_i4 (R, C), modes4 (R, C, 16) z-scan, luma4 (R, C, 16, 16)
+    zig-zag per raster block)."""
+    from .encoder import ZSCAN_TO_RASTER, _wave_indices
+
+    dc_levels, ac_levels = luma_sym
+    cdc_levels, cac_levels = chroma_sym
+    is_i4, modes4, luma4 = i4_sym
+    qp_c = jnp.asarray(T.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 51)]
+
+    rows_np, cols_np, mask_np = _wave_indices(R, C, skew=2)
+    rows, cols, mask = map(jnp.asarray, (rows_np, cols_np, mask_np))
+    n_waves = rows.shape[0]
+
+    state = {
+        "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
+        "recon_u": jnp.zeros((R, C, 8, 8), jnp.int32),
+        "recon_v": jnp.zeros((R, C, 8, 8), jnp.int32),
+    }
+
+    def wave_step(state, wave_idx):
+        r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
+        c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
+        valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
+        avail_top = (r > 0) & valid
+        avail_left = (c > 0) & valid
+        rm1 = jnp.maximum(r - 1, 0)
+        cm1 = jnp.maximum(c - 1, 0)
+        rc = jnp.minimum(r, R - 1)
+        cc = jnp.minimum(c, C - 1)
+        N = rc.shape[0]
+
+        ry = state["recon_y"]
+        top = ry[rm1, cc, 15, :]
+        left = ry[rc, cm1, :, 15]
+        top_left = ry[rm1, cm1, 15, 15]
+
+        # ---- I_16x16 candidate ----
+        preds = intra_ops.pred_16x16_all(top, left, top_left, avail_top,
+                                         avail_left)
+        mode = mode16[rc, cc]
+        pred = jnp.take_along_axis(preds, mode[:, None, None, None],
+                                   axis=1)[:, 0]
+        dcz = dc_levels[rc, cc]
+        z_dc = T.inverse_zigzag(dcz)
+        f_dc = T.hadamard_4x4(z_dc.reshape(-1, 4, 4))
+        d_dc = T.dequant_dc_4x4(f_dc, qp)
+        acz = ac_levels[rc, cc]
+        z_ac = T.inverse_zigzag(jnp.concatenate(
+            [jnp.zeros(acz.shape[:-1] + (1,), jnp.int32), acz], axis=-1))
+        d = T.dequant_4x4(z_ac, qp).at[:, :, 0, 0].set(d_dc.reshape(-1, 16))
+        recon16 = jnp.clip(pred + _blocks_mb(T.inverse_4x4(d)), 0, 255)
+
+        # ---- I_4x4 candidate: 16-step z-scan chain with coded modes ----
+        m4 = modes4[rc, cc]  # (N, 16) z-scan
+        lv4 = luma4[rc, cc]  # (N, 16, 16) zig-zag, raster blocks
+        cp1 = jnp.minimum(cc + 1, C - 1)
+        tr_mb_ok = avail_top & (cc < C - 1)
+        tr_row4 = ry[rm1, cp1, 15, 0:4]
+        TR_OK = {(1, 0): True, (1, 1): False, (1, 2): True,
+                 (1, 3): False, (2, 0): True, (2, 1): True,
+                 (2, 2): True, (2, 3): False, (3, 0): True,
+                 (3, 1): False, (3, 2): True, (3, 3): False}
+        cur = jnp.zeros((N, 16, 16), jnp.int32)
+        ones_b = jnp.ones((N,), bool)
+        for z in range(16):
+            b = int(ZSCAN_TO_RASTER[z])
+            by, bx = b // 4, b % 4
+            x0, y0 = bx * 4, by * 4
+            top4 = (top[:, x0 : x0 + 4] if by == 0
+                    else cur[:, y0 - 1, x0 : x0 + 4])
+            left4 = (left[:, y0 : y0 + 4] if bx == 0
+                     else cur[:, y0 : y0 + 4, x0 - 1])
+            if by == 0 and bx == 0:
+                corner = top_left
+            elif by == 0:
+                corner = top[:, x0 - 1]
+            elif bx == 0:
+                corner = left[:, y0 - 1]
+            else:
+                corner = cur[:, y0 - 1, x0 - 1]
+            if by == 0:
+                if bx < 3:
+                    tr4 = top[:, x0 + 4 : x0 + 8]
+                    tr_ok = avail_top
+                else:
+                    tr4 = tr_row4
+                    tr_ok = tr_mb_ok
+            elif TR_OK[(by, bx)]:
+                tr4 = cur[:, y0 - 1, x0 + 4 : x0 + 8]
+                tr_ok = ones_b
+            else:
+                tr4 = jnp.zeros((N, 4), jnp.int32)
+                tr_ok = jnp.zeros((N,), bool)
+            b_top = ones_b if by > 0 else avail_top
+            b_left = ones_b if bx > 0 else avail_left
+            t8 = jnp.concatenate(
+                [top4, jnp.where(tr_ok[:, None], tr4, top4[:, 3:4])], axis=1)
+            preds4, _ok4 = intra_ops.pred_4x4_all(
+                t8, left4, corner, b_top, b_left, tr_ok)
+            p4 = jnp.take_along_axis(
+                preds4, m4[:, z][:, None, None, None], axis=1)[:, 0]
+            zl = T.inverse_zigzag(lv4[:, b])  # (N, 4, 4)
+            rec4 = jnp.clip(
+                p4 + T.inverse_4x4(T.dequant_4x4(zl, qp)), 0, 255)
+            cur = cur.at[:, y0 : y0 + 4, x0 : x0 + 4].set(rec4)
+
+        i4 = is_i4[rc, cc].astype(bool)
+        recon = jnp.where(i4[:, None, None], cur, recon16)
+
+        # ---- chroma (shared) ----
         cu_top = state["recon_u"][rm1, cc, 7, :]
         cu_left = state["recon_u"][rc, cm1, :, 7]
         cu_tl = state["recon_u"][rm1, cm1, 7, 7]
@@ -393,16 +558,14 @@ class TpuDecoder:
 
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
-                sym = parse_pslice_cabac(rbsp, pos, R, C, qp)
+                sym = parse_pslice_cabac(rbsp, pos, R, C, qp,
+                                         hdr.cabac_init_idc)
                 sym["qp_map"] = np.full((R, C), qp, np.int32)
             else:
                 sym = parse_pslice_symbols(br, R, C, slice_qp=qp)
             if np.abs(sym["mv"] >> 2).max() > MV_RANGE - 2:
                 raise UnsupportedStream("MV beyond the device MC window")
             qp_varies = bool((sym["qp_map"] != qp).any())
-            if qp_varies and deblock:
-                raise UnsupportedStream(
-                    "per-MB QP with deblocking (per-edge qp averaging)")
             ry, ru, rv = _recon_pframe_device(
                 R, C, *self.ref_planes,
                 jnp.asarray(sym["mv"]), jnp.asarray(sym["luma_levels"]),
@@ -421,17 +584,33 @@ class TpuDecoder:
                 from .slice_coder import parse_islice_mbs
 
                 p = parse_islice_mbs(br, R, C, qp)
-                if p.is_i4 is not None and p.is_i4.any():
-                    raise UnsupportedStream(
-                        "I_4x4 reconstruction: use the reference decoder")
                 s = {"mode16": p.mode16, "chroma_mode": p.chroma_mode,
                      "dc_levels": p.dc_levels, "ac_levels": p.ac_levels,
-                     "cdc_levels": p.cdc_levels, "cac_levels": p.cac_levels}
-            ry, ru, rv = _recon_iframe_device(
-                R, C, jnp.asarray(s["mode16"]), jnp.asarray(s["chroma_mode"]),
-                (jnp.asarray(s["dc_levels"]), jnp.asarray(s["ac_levels"])),
-                (jnp.asarray(s["cdc_levels"]), jnp.asarray(s["cac_levels"])),
-                jnp.int32(qp), deblock)
+                     "cdc_levels": p.cdc_levels, "cac_levels": p.cac_levels,
+                     "is_i4": p.is_i4, "modes4": p.modes4,
+                     "luma4_levels": p.luma4_levels}
+            has_i4 = (s.get("is_i4") is not None
+                      and np.asarray(s["is_i4"]).any())
+            if has_i4:
+                ry, ru, rv = _recon_iframe_mixed_device(
+                    R, C, jnp.asarray(s["mode16"]),
+                    jnp.asarray(s["chroma_mode"]),
+                    (jnp.asarray(s["dc_levels"]),
+                     jnp.asarray(s["ac_levels"])),
+                    (jnp.asarray(s["cdc_levels"]),
+                     jnp.asarray(s["cac_levels"])),
+                    (jnp.asarray(s["is_i4"]).astype(np.int32),
+                     jnp.asarray(s["modes4"]),
+                     jnp.asarray(s["luma4_levels"])),
+                    jnp.int32(qp), deblock)
+            else:
+                ry, ru, rv = _recon_iframe_device(
+                    R, C, jnp.asarray(s["mode16"]),
+                    jnp.asarray(s["chroma_mode"]),
+                    (jnp.asarray(s["dc_levels"]), jnp.asarray(s["ac_levels"])),
+                    (jnp.asarray(s["cdc_levels"]),
+                     jnp.asarray(s["cac_levels"])),
+                    jnp.int32(qp), deblock)
 
         if nal_ref_idc != 0:
             self.ref_planes = (ry, ru, rv)

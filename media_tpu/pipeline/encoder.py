@@ -87,6 +87,15 @@ def _blocks8_mb(blocks):
     return blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4).reshape(n, 8, 8)
 
 
+def stream_prefix_words(max_bits: int, cap: int, bucket: int = 8192) -> int:
+    """Words to download from a (K, cap) device stream buffer: the used
+    prefix rounded up to a 32 KiB bucket, so on-device slice executables
+    stay cacheable (<= cap/bucket distinct shapes). The buffer itself is
+    worst-case sized; only ~the real bitrate crosses the link."""
+    nw = (max_bits + 31) // 32
+    return max(bucket, min(cap, -(-nw // bucket) * bucket))
+
+
 @dataclass
 class PFrameResult:
     """Per-MB symbol arrays for an inter frame (P_L0_16x16 everywhere).
@@ -233,49 +242,56 @@ class FrameEncoder:
         return np.asarray(symbols), recon
 
     def encode_pframes_packed(self, ys, us, vs, ref_y, ref_u, ref_v, qp: int,
-                              search_range: int = 8, deblock: bool = False):
+                              search_range: int = 8, deblock: bool = False,
+                              cap: int | None = None):
         """Encode K consecutive P frames with ON-DEVICE entropy coding.
 
         Downloads only the packed slice_data bitstreams (~the real bitrate)
-        instead of per-MB symbols. Returns (streams (K, cap_words) uint32,
-        bits (K,) int32, recon device planes). bits[j] > cap_words*32 signals
-        overflow: the caller must fall back to the symbols path.
+        instead of per-MB symbols. Returns (streams (K, cap) uint32,
+        bits (K,) int32, recon device planes). bits[j] > cap*32 signals
+        overflow: the caller must retry with a larger cap or fall back to
+        the symbols path.
         """
         qp_c = int(T.chroma_qp(qp))
         streams, bits, recon = self._encode_pbatch_packed_device(
             jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
             jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
+            cap or self.cap_words,
         )
         return np.asarray(streams), np.asarray(bits), recon
 
     def encode_pframes_packed_dev(self, ys_d, us_d, vs_d, ref, qp: int,
                                   search_range: int = 8,
-                                  deblock: bool = False):
+                                  deblock: bool = False,
+                                  cap: int | None = None):
         """Like encode_pframes_packed, but takes device-resident planes and
         returns device arrays (no host download): the building block of the
         software-pipelined session path, where downloads are deferred so they
-        overlap the next chunk's compute."""
+        overlap the next chunk's compute. `cap` (static, words) sizes the
+        per-frame stream buffer — the session right-sizes it from recent
+        frame bits so the per-frame download is ~the real bitrate, not the
+        worst-case budget."""
         qp_c = int(T.chroma_qp(qp))
         return self._encode_pbatch_packed_device(
             ys_d, us_d, vs_d, *ref,
             jnp.int32(qp), jnp.int32(qp_c), search_range, deblock,
+            cap or self.cap_words,
         )
 
     @property
     def cap_words(self) -> int:
         # ~1.5 bits/pixel budget for packed slice_data (64 KiB minimum): the
-        # stream buffer is downloaded per frame, so the cap is sized with
-        # headroom above the realistic operating envelope (<=10 Mbps CBR is
-        # ~0.16 bpp at 1080p30; high-QP noise peaks near 1 bpp) rather than
-        # the theoretical worst case; a denser frame overflows the whole
-        # chunk to the host-packing fallback, which costs far more than the
-        # extra download.
+        # worst-case stream buffer. Sessions normally dispatch with a much
+        # smaller adaptive cap sized from recent frame bits (the buffer is
+        # downloaded per frame) and retry at this budget on overflow; only
+        # frames denser than even this fall back to host packing.
         return max(self.width * self.height // 21, 16384)
 
-    @functools.partial(jax.jit, static_argnums=(0, 9, 10))
+    @functools.partial(jax.jit, static_argnums=(0, 9, 10, 11))
     def _encode_pbatch_packed_device(self, ys, us, vs, ref_y, ref_u, ref_v,
-                                     qp, qp_c, search_range, deblock=False):
+                                     qp, qp_c, search_range, deblock=False,
+                                     cap=None):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import local_pframe_core, unpack_symbols_device
 
@@ -284,7 +300,8 @@ class FrameEncoder:
         rs = search_range
         halo_y = rs + INTERP_HALO
         halo_c = rs // 2 + 2
-        cap = self.cap_words
+        if cap is None:
+            cap = self.cap_words
 
         def step(carry, frame):
             ry, ru, rv = carry
@@ -642,7 +659,8 @@ class FrameEncoder:
                            rc_state: dict, target_bits_per_frame: int,
                            qp_min: int = 12, qp_max: int = 44,
                            search_range: int = 8, deblock: bool = False,
-                           adaptive_qp: bool = False):
+                           adaptive_qp: bool = False,
+                           cap: int | None = None):
         """Encode K P frames with on-device CBR rate control.
 
         The device packer reports each frame's EXACT bit count, so the
@@ -654,36 +672,36 @@ class FrameEncoder:
         FRACTIONAL part of the rate controller's ideal QP — a deterministic
         dither assigns floor(qp)+1 to that fraction of macroblocks — which
         tightens the rate granularity from one full QP step (~12% bits) to
-        ~1%. Requires deblock=False until the filter supports per-edge QP
-        averaging.
+        ~1%. Composes with deblock: the filter applies spec 8.7.2 per-edge
+        qPav thresholds from the decoder-visible QP map.
 
         Returns (streams, bits, qps, recon, new_rc_state).
         """
-        if adaptive_qp and deblock:
-            raise ValueError("adaptive_qp requires deblock=False (per-edge "
-                             "QP averaging in the filter is not implemented)")
         streams, bits, qps, recon, new_state = self._encode_pbatch_cbr_device(
             jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
             jnp.asarray(ref_y), jnp.asarray(ref_u), jnp.asarray(ref_v),
             jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
             jnp.float32(rc_state["cplx"]),
             float(target_bits_per_frame), qp_min, qp_max, search_range,
-            deblock, adaptive_qp,
+            deblock, adaptive_qp, cap or self.cap_words,
         )
         out_state = {
             "qp": float(new_state[0]),
             "buf": float(new_state[1]),
             "cplx": float(new_state[2]),
         }
-        return (np.asarray(streams), np.asarray(bits), np.asarray(qps),
+        bits_np = np.asarray(bits)
+        cap_used = cap or self.cap_words
+        nw = stream_prefix_words(int(bits_np.max()), cap_used)
+        return (np.asarray(streams[:, :nw]), bits_np, np.asarray(qps),
                 recon, out_state)
 
-    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14, 15))
+    @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14, 15, 16))
     def _encode_pbatch_cbr_device(self, ys, us, vs, ref_y, ref_u, ref_v,
                                   qp0, buf0, cplx0,
                                   target: float, qp_min: int, qp_max: int,
                                   search_range: int, deblock: bool = False,
-                                  adaptive_qp: bool = False):
+                                  adaptive_qp: bool = False, cap=None):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import (
             INTERP_HALO, chroma_qp_device, local_pframe_core,
@@ -693,7 +711,8 @@ class FrameEncoder:
         rs = search_range
         halo_y = rs + INTERP_HALO
         halo_c = rs // 2 + 2
-        cap = self.cap_words
+        if cap is None:
+            cap = self.cap_words
 
         def qstep(qp):
             return 0.625 * jnp.exp2(qp / 6.0)
@@ -745,9 +764,24 @@ class FrameEncoder:
             if deblock:
                 from .deblock_apply import deblock_pframe_from_symbols
 
+                eff_map = None
+                if adaptive_qp:
+                    # The filter must see the DECODER's per-MB QP: mb_qp_delta
+                    # is only coded on cbp != 0 MBs, so uncoded/skip MBs keep
+                    # the running QP (spec 7.4.4) — an associative last-coded
+                    # scan over the dithered map, seeded with the slice QP.
+                    coded = (jnp.any(luma != 0, axis=(2, 3))
+                             | jnp.any(cdc != 0, axis=(2, 3))
+                             | jnp.any(cac != 0, axis=(2, 3, 4)))
+                    vals = jnp.where(coded.reshape(-1), qp_map, -1)
+                    incl = jax.lax.associative_scan(
+                        lambda a, b: jnp.where(b >= 0, b, a), vals)
+                    eff_map = jnp.where(incl >= 0, incl, qp).reshape(
+                        self.n_rows, self.n_cols)
                 rdy, rdu, rdv = deblock_pframe_from_symbols(
                     rdy, rdu, rdv, out["symbols"], qp, qp_c,
-                    self.n_rows, self.n_cols, self.deblock_slice_starts)
+                    self.n_rows, self.n_cols, self.deblock_slice_starts,
+                    qp_map=eff_map)
             bits_f = bits.astype(jnp.float32)
             # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
             cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp_f)

@@ -70,35 +70,66 @@ def _filter_chroma_edge(p, q, bs, alpha, beta, tc0):
     return po, qo
 
 
-def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h):
-    """Raster-order per-MB deblock; y: (16R, 16C) etc. Returns new planes."""
+def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h, qp_map=None):
+    """Raster-order per-MB deblock; y: (16R, 16C) etc. Returns new planes.
+
+    qp_map: optional (R, C) per-MB luma QP (per-MB-QP streams). Thresholds
+    then follow spec 8.7.2: MB-boundary edges use qPav = (QPp + QPq + 1) >> 1
+    of the adjoining MBs (chroma averages the per-MB QPc), internal edges the
+    MB's own QP; the scalar qp/qp_c arguments are ignored."""
+    from ..ops.transform import CHROMA_QP_TABLE
+
     y = y.astype(np.int64).copy()
     u = u.astype(np.int64).copy()
     v = v.astype(np.int64).copy()
     H, W = y.shape
     R, C = H // 16, W // 16
-    alpha = int(ALPHA_TABLE[np.clip(qp, 0, 51)])
-    beta = int(BETA_TABLE[np.clip(qp, 0, 51)])
-    tc0r = TC0_TABLE[np.clip(qp, 0, 51)]
-    alpha_c = int(ALPHA_TABLE[np.clip(qp_c, 0, 51)])
-    beta_c = int(BETA_TABLE[np.clip(qp_c, 0, 51)])
-    tc0r_c = TC0_TABLE[np.clip(qp_c, 0, 51)]
+    if qp_map is not None:
+        qp_map = np.asarray(qp_map, np.int64)
+        qpc_map = np.asarray(CHROMA_QP_TABLE)[np.clip(qp_map, 0, 51)]
+
+    def thresholds(qp_e):
+        qp_e = int(np.clip(qp_e, 0, 51))
+        return (int(ALPHA_TABLE[qp_e]), int(BETA_TABLE[qp_e]),
+                TC0_TABLE[qp_e])
+
+    alpha = beta = tc0r = alpha_c = beta_c = tc0r_c = None
+    if qp_map is None:
+        alpha, beta, tc0r = thresholds(qp)
+        alpha_c, beta_c, tc0r_c = thresholds(qp_c)
 
     def tc0_arr(bs, row):
         return np.where(bs >= 4, 0, row[np.clip(bs - 1, 0, 2)])
 
     for r in range(R):
         for c in range(C):
+            if qp_map is not None:
+                qpm = int(qp_map[r, c])
+                qpl = int(qp_map[r, c - 1]) if c > 0 else qpm
+                qpt = int(qp_map[r - 1, c]) if r > 0 else qpm
+                qcm = int(qpc_map[r, c])
+                qcl = int(qpc_map[r, c - 1]) if c > 0 else qcm
+                qct = int(qpc_map[r - 1, c]) if r > 0 else qcm
+                th_own = thresholds(qpm)
+                th_left = thresholds((qpl + qpm + 1) >> 1)
+                th_top = thresholds((qpt + qpm + 1) >> 1)
+                thc_own = thresholds(qcm)
+                thc_left = thresholds((qcl + qcm + 1) >> 1)
+                thc_top = thresholds((qct + qcm + 1) >> 1)
+            else:
+                th_own = th_left = th_top = (alpha, beta, tc0r)
+                thc_own = thc_left = thc_top = (alpha_c, beta_c, tc0r_c)
             y0, x0 = r * 16, c * 16
             # vertical luma edges
             for e in range(4):
                 x = x0 + 4 * e
                 if x == 0:
                     continue
+                al, be, t0 = th_left if e == 0 else th_own
                 bs = np.repeat(bs_v[r * 4 : r * 4 + 4, c * 4 + e], 4)
                 p, q = _filter_luma_edge(
                     y[y0 : y0 + 16, x - 4 : x], y[y0 : y0 + 16, x : x + 4],
-                    bs, alpha, beta, tc0_arr(bs, tc0r))
+                    bs, al, be, tc0_arr(bs, t0))
                 y[y0 : y0 + 16, x - 4 : x] = p
                 y[y0 : y0 + 16, x : x + 4] = q
             # horizontal luma edges
@@ -106,10 +137,11 @@ def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h):
                 yy = y0 + 4 * e
                 if yy == 0:
                     continue
+                al, be, t0 = th_top if e == 0 else th_own
                 bs = np.repeat(bs_h[r * 4 + e, c * 4 : c * 4 + 4], 4)
                 p, q = _filter_luma_edge(
                     y[yy - 4 : yy, x0 : x0 + 16].T, y[yy : yy + 4, x0 : x0 + 16].T,
-                    bs, alpha, beta, tc0_arr(bs, tc0r))
+                    bs, al, be, tc0_arr(bs, t0))
                 y[yy - 4 : yy, x0 : x0 + 16] = p.T
                 y[yy : yy + 4, x0 : x0 + 16] = q.T
             # chroma
@@ -119,20 +151,22 @@ def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h):
                     x = cx0 + 4 * e
                     if x == 0:
                         continue
+                    al, be, t0 = thc_left if e == 0 else thc_own
                     bs = bs_v[r * 4 + np.arange(8) // 2, c * 4 + 2 * e]
                     p, q = _filter_chroma_edge(
                         plane[cy0 : cy0 + 8, x - 2 : x], plane[cy0 : cy0 + 8, x : x + 2],
-                        bs, alpha_c, beta_c, tc0_arr(bs, tc0r_c))
+                        bs, al, be, tc0_arr(bs, t0))
                     plane[cy0 : cy0 + 8, x - 2 : x] = p
                     plane[cy0 : cy0 + 8, x : x + 2] = q
                 for e in range(2):
                     yy = cy0 + 4 * e
                     if yy == 0:
                         continue
+                    al, be, t0 = thc_top if e == 0 else thc_own
                     bs = bs_h[r * 4 + 2 * e, c * 4 + np.arange(8) // 2]
                     p, q = _filter_chroma_edge(
                         plane[yy - 2 : yy, cx0 : cx0 + 8].T, plane[yy : yy + 2, cx0 : cx0 + 8].T,
-                        bs, alpha_c, beta_c, tc0_arr(bs, tc0r_c))
+                        bs, al, be, tc0_arr(bs, t0))
                     plane[yy - 2 : yy, cx0 : cx0 + 8] = p.T
                     plane[yy : yy + 2, cx0 : cx0 + 8] = q.T
     return (np.clip(y, 0, 255).astype(np.uint8),

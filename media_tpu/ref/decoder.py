@@ -154,6 +154,8 @@ class ReferenceDecoder:
                 "luma_nnz": np.zeros((n_rows * 4, n_cols * 4), np.int32),
                 "chroma_nnz": np.zeros((2, n_rows * 2, n_cols * 2), np.int32),
                 "mv_grid": np.zeros((n_rows, n_cols, 2), np.int32),
+                "qp_grid": np.full((n_rows, n_cols), qp, np.int32),
+                "qp_varies": False,
                 "covered": 0,
                 "hdr": hdr,
                 "qp": qp,
@@ -183,6 +185,7 @@ class ReferenceDecoder:
                                         n_cols, pred_mv, r0, asm["mv_grid"])
                     luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
                     chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
+                    asm["qp_grid"][r, c] = qp_state[0]
                     mb_idx += 1
                 if mb_idx >= mb_count or not br.more_rbsp_data():
                     break
@@ -195,6 +198,8 @@ class ReferenceDecoder:
                     self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
                                      mb_type, qp_state, luma_nnz, chroma_nnz,
                                      n_cols, pred_mv, r0, asm["mv_grid"])
+                asm["qp_grid"][r, c] = qp_state[0]
+                asm["qp_varies"] = asm["qp_varies"] or qp_state[1]
                 mb_idx += 1
             else:
                 r, c = divmod(mb_idx, n_cols)
@@ -216,9 +221,7 @@ class ReferenceDecoder:
 
         # Picture complete: deblock and emit.
         self._asm = None
-        if qp_state[1] and hdr.disable_deblocking_filter_idc != 1:
-            raise NotImplementedError(
-                "per-MB QP with in-loop deblocking (per-edge qp averaging)")
+        asm["qp_varies"] = asm["qp_varies"] or qp_state[1]
         if hdr.disable_deblocking_filter_idc != 1:
             from .deblock import (
                 deblock_frame_np, inter_bs_grids_np, intra_bs_grids_np)
@@ -236,7 +239,8 @@ class ReferenceDecoder:
                         bs_h[4 * sr, :] = 0
             y, u, v = deblock_frame_np(
                 np.clip(y, 0, 255), np.clip(u, 0, 255), np.clip(v, 0, 255),
-                qp, qp_c, bs_v, bs_h)
+                qp, qp_c, bs_v, bs_h,
+                qp_map=asm["qp_grid"] if asm["qp_varies"] else None)
 
         frame = DecodedFrame(
             y=np.clip(y, 0, 255).astype(np.uint8),

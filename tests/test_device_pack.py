@@ -49,15 +49,15 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _pack_jit(mv, luma, cdc, cac, cap_words):
-    return dc.pack_pslice_device(mv, luma, cdc, cac, cap_words)
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _pack_jit(mv, luma, cdc, cac, cap_words, ratio=0.25):
+    return dc.pack_pslice_device(mv, luma, cdc, cac, cap_words, ratio=ratio)
 
 
-def device_bytes(mv, luma, cdc, cac, cap_words):
+def device_bytes(mv, luma, cdc, cac, cap_words, ratio=0.25):
     stream, bits = _pack_jit(
         jnp.asarray(mv), jnp.asarray(luma), jnp.asarray(cdc),
-        jnp.asarray(cac), cap_words)
+        jnp.asarray(cac), cap_words, ratio)
     bits = int(bits)
     assert bits <= cap_words * 32, "device packer overflowed the cap"
     bw = BitWriter()
@@ -80,7 +80,8 @@ def test_device_pack_dense_escape_levels():
     R, C = 5, 7
     mv, luma, cdc, cac = random_symbols(R, C, 3, density=2, big_levels=True)
     cap = R * C * 512  # generous: dense escapes approach 16 words per block
-    assert device_bytes(mv, luma, cdc, cac, cap) == host_bytes(mv, luma, cdc, cac)
+    assert device_bytes(mv, luma, cdc, cac, cap, ratio=1.0) == host_bytes(
+        mv, luma, cdc, cac)
 
 
 def test_device_pack_overflow_sentinel():

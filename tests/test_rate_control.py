@@ -99,20 +99,36 @@ def test_cbr_adaptive_qp_tight(bitrate):
     np.testing.assert_array_equal(frames[-1].u, np.asarray(sess.recon[1]))
 
 
-def test_adaptive_qp_requires_deblock_off():
-    with pytest.raises(ValueError):
-        EncoderSession(EncoderConfig(width=64, height=64, rc_mode="cbr",
-                                     adaptive_qp=True, deblock=True))
+def test_cbr_adaptive_qp_with_deblock_roundtrip():
+    """adaptive_qp composes with in-loop deblocking: the filter applies
+    per-edge qPav thresholds (spec 8.7.2) from the decoder-visible QP map,
+    and encoder recon stays bit-exact vs the reference decoder."""
+    w, h, fps, n = 176, 144, 30, 12
+    cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1000,
+                        rc_mode="cbr", bitrate=700_000, framerate=fps,
+                        deblock=True, adaptive_qp=True)
+    sess = EncoderSession(cfg)
+    bufs = [yuv.pack_i420(*scene(w, h, t)) for t in range(n)]
+    aus = sess.encode_frames(bufs)
+    dec = ReferenceDecoder()
+    frames = dec.decode_annexb(b"".join(aus))
+    assert len(frames) == n
+    for f, got in ((frames[-1], sess.recon),):
+        np.testing.assert_array_equal(f.y, np.asarray(got[0]))
+        np.testing.assert_array_equal(f.u, np.asarray(got[1]))
+        np.testing.assert_array_equal(f.v, np.asarray(got[2]))
 
 
-def test_tpu_decoder_adaptive_qp_stream():
-    """The TPU decode path parses mb_qp_delta and dequantizes per MB."""
+@pytest.mark.parametrize("deblock", [False, True])
+def test_tpu_decoder_adaptive_qp_stream(deblock):
+    """The TPU decode path parses mb_qp_delta, dequantizes per MB and (with
+    deblock) applies the per-edge qPav thresholds."""
     from media_tpu.pipeline.decoder_tpu import TpuDecoder
 
     w, h = 176, 144
     cfg = EncoderConfig(width=w, height=h, qp=30, gop_size=1000,
                         rc_mode="cbr", bitrate=600_000, framerate=30,
-                        deblock=False, adaptive_qp=True)
+                        deblock=deblock, adaptive_qp=True)
     sess = EncoderSession(cfg)
     bufs = [yuv.pack_i420(*scene(w, h, t)) for t in range(6)]
     aus = sess.encode_frames(bufs)

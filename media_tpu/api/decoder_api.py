@@ -31,6 +31,19 @@ log = Logger("VideoDecoder")
 MAX_PENDING_FRAMES = 8  # backpressure bound for the decoded-frame queue
 
 
+class _HevcDecoderAdapter:
+    """ReferenceDecoder-shaped wrapper around the HEVC oracle (same
+    decode_annexb contract; frame objects expose .y/.u/.v)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.sps = None
+        self.pps = None
+
+    def decode_annexb(self, chunk: bytes):
+        return self._inner.decode_annexb(chunk)
+
+
 class VideoDecoder:
     def __init__(self, backend: str = "auto"):
         """backend: "auto" uses the TPU decode path (device IQ/IDCT/MC/
@@ -58,6 +71,13 @@ class VideoDecoder:
         self._stat_frames = 0
 
     def _make_decoder(self):
+        if self._format == CodecFormat.H265:
+            # H.265 decode (the reference decodes both formats via the Logan
+            # session, VideoDecoderNetint.cpp:822-824): independent scalar
+            # oracle implementation.
+            from ..hevc.ref_decoder import HevcOracleDecoder
+
+            return _HevcDecoderAdapter(HevcOracleDecoder())
         use_tpu = self._backend == "tpu"
         if self._backend == "auto":
             import jax
@@ -87,9 +107,10 @@ class VideoDecoder:
     # ------------------------------------------------------------- lifecycle
 
     def create_decoder(self, codec_format: int) -> DecoderRetCode:
-        if codec_format not in (CodecFormat.H264,):
+        if codec_format not in (CodecFormat.H264, CodecFormat.H265):
             return DecoderRetCode.VIDEO_DECODER_UNSUPPORTED
         self._format = CodecFormat(codec_format)
+        self._decoder = self._make_decoder()
         self._created = True
         return DecoderRetCode.VIDEO_DECODER_SUCCESS
 
@@ -158,6 +179,21 @@ class VideoDecoder:
             self._decoder.decode_annexb(self._saved_headers)
         return DecoderRetCode.VIDEO_DECODER_SUCCESS
 
+    def _recover_decode_fail(self) -> DecoderRetCode:
+        """Per-AU failure: report DECODE_FAIL but KEEP the session alive —
+        reset the internal decoder and re-feed the saved parameter sets so
+        decoding resumes at the next intact IDR/AU. The reference only
+        stops the session on transport-class errors (txSize < 0,
+        VideoDecoderNetint.cpp:591-594); a corrupt access unit is not a
+        transport error."""
+        self._decoder = self._make_decoder()
+        if self._saved_headers:
+            try:
+                self._decoder.decode_annexb(self._saved_headers)
+            except Exception:
+                pass
+        return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
+
     # ------------------------------------------------------------------ I/O
 
     def send_stream_data(self, data: bytes) -> DecoderRetCode:
@@ -165,6 +201,11 @@ class VideoDecoder:
             return DecoderRetCode.VIDEO_DECODER_NOT_INITED
         if len(data) == 0:  # end-of-stream marker (reference len==0 rule)
             self._eos_pending = True
+            # Flush the leftover assembly: with no more data coming, the
+            # buffered trailing NAL is complete by definition.
+            chunk, self._leftover = self._leftover, b""
+            if chunk:
+                return self._decode_chunk(chunk)
             return DecoderRetCode.VIDEO_DECODER_SUCCESS
         if len(self._frames) >= MAX_PENDING_FRAMES:
             return DecoderRetCode.VIDEO_DECODER_WRITE_OVERFLOW
@@ -176,10 +217,13 @@ class VideoDecoder:
         chunk, self._leftover = buf[:cut], buf[cut:]
         if not chunk:
             return DecoderRetCode.VIDEO_DECODER_SUCCESS
+        return self._decode_chunk(chunk)
 
-        headers, _rest = nal_mod.split_parameter_sets(chunk)
-        if headers:
-            self._saved_headers = headers  # save_hdrs analog
+    def _decode_chunk(self, chunk: bytes) -> DecoderRetCode:
+        if self._format == CodecFormat.H264:
+            headers, _rest = nal_mod.split_parameter_sets(chunk)
+            if headers:
+                self._saved_headers = headers  # save_hdrs analog
 
         try:
             decoded = self._decoder.decode_annexb(chunk)
@@ -192,12 +236,10 @@ class VideoDecoder:
                     decoded = self._fallback_to_reference(chunk)
                 except Exception as e2:
                     log.err("decode failed: %s", e2)
-                    self.stop_decoder()
-                    return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
+                    return self._recover_decode_fail()
             else:
                 log.err("decode failed: %s", e)
-                self.stop_decoder()
-                return DecoderRetCode.VIDEO_DECODER_DECODE_FAIL
+                return self._recover_decode_fail()
         for f in decoded:
             self._frames.append(f)
         return DecoderRetCode.VIDEO_DECODER_SUCCESS

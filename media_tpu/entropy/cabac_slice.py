@@ -413,7 +413,7 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
                 skip_map[r, c] = True
                 cbp_map[r, c] = 0
                 if dec.decode_terminate():
-                    return _psymbols(mv, luma, cdc, cac)
+                    return _psymbols(mv, luma, cdc, cac, r * C + c + 1)
                 continue
             b0 = dec.decode_bin(ctx, cc.MB_TYPE_P)
             if b0:
@@ -455,13 +455,13 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
             _chroma_blocks(dec, ctx, st, r, c, cbp_chroma,
                            cdc[r, c], cac[r, c], write=False)
             if dec.decode_terminate():
-                return _psymbols(mv, luma, cdc, cac)
-    return _psymbols(mv, luma, cdc, cac)
+                return _psymbols(mv, luma, cdc, cac, r * C + c + 1)
+    return _psymbols(mv, luma, cdc, cac, R * C)
 
 
-def _psymbols(mv, luma, cdc, cac):
+def _psymbols(mv, luma, cdc, cac, covered=None):
     return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
-            "cac_levels": cac}
+            "cac_levels": cac, "covered": covered}
 
 
 # ------------------------------------------------------------------ I slices
@@ -695,6 +695,7 @@ def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
                 _chroma_blocks(dec, ctx, st, r, c, cbp_chroma,
                                cdc[r, c], cac[r, c], write=False)
                 if dec.decode_terminate():
+                    covered = r * C + c + 1
                     break
                 continue
             cbp_luma, cbp_chroma, mode = _i16_mb_type_parse(dec, ctx, avail_inc)
@@ -722,10 +723,14 @@ def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
             _chroma_blocks(dec, ctx, st, r, c, cbp_chroma,
                            cdc[r, c], cac[r, c], write=False)
             if dec.decode_terminate():
+                covered = r * C + c + 1
                 break
         else:
             continue
         break
+    else:
+        covered = R * C
     return {"mode16": mode16, "chroma_mode": chroma_mode, "dc_levels": dc,
             "ac_levels": ac, "cdc_levels": cdc, "cac_levels": cac,
-            "is_i4": is_i4, "modes4": modes4, "luma4_levels": luma4}
+            "is_i4": is_i4, "modes4": modes4, "luma4_levels": luma4,
+            "covered": covered}

@@ -3,23 +3,28 @@
 Scope (documented precisely — this is the format-2 capability slot, spec
 plumbing first, TPU port of the hot loops rides the H.264 machinery later):
 
-  * 16x16 CTUs == CUs (no quadtree bins), PART_2Nx2N intra, luma prediction
-    modes {planar, DC} per CU, chroma derived mode (DM).
+  * 16x16 CTUs == CUs (no quadtree bins), PART_2Nx2N intra, the FULL 35
+    luma prediction modes (planar, DC, angular 2..34 per spec 8.4.4.2.4-6,
+    including the DC and pure-H/V boundary filters for luma), chroma
+    derived mode (DM).
   * 4x4 TUs (split inferred by min==max TB size 4): DST-VII for intra luma
-    (spec 8.6.4.2), DCT-II approximation for chroma, HEVC quantizer scale
-    tables, reference-sample substitution from the reconstruction mask.
-  * Entropy: the shared CABAC engine (entropy/cabac_engine.py) with
-    uniform-initialized contexts; residual coding follows the spec's shape
-    for a single 4x4 coefficient group (last_sig_coeff prefixes, sig map,
-    greater1/greater2, sign bypass, Golomb-Rice remainders with Rice
-    adaptation).
+    (spec 8.6.4.2), DCT-II for chroma, HEVC quantizer scale tables, the
+    spec's chroma-QP mapping (Table 8-10), reference-sample substitution
+    from the reconstruction mask.
+  * Entropy: the shared CABAC engine (entropy/cabac_engine.py);
+    mode-dependent coefficient scans (diagonal/horizontal/vertical by
+    predModeIntra, spec 7.4.9.11) and hierarchical chroma cbf (cbf_cb/cr
+    coded once at the CU root with per-TB cbf only under a set root — the
+    transform-tree inference shape of 7.3.8.8); last_sig_coeff prefixes,
+    sig map, greater1/greater2, sign bypass, Golomb-Rice remainders with
+    Rice adaptation.
 
-  Documented simplifications vs a conformant HEVC encoder: cbf flags are
-  coded flat (one per TB, no hierarchical cbf inference), the coefficient
-  scan is a fixed diagonal (mode-dependent scans would apply to H/V modes,
-  which this skeleton does not emit), and context initialization is uniform
-  (same stance as the H.264 CABAC path, PARITY.md). Encoder and decoder
-  mirror exactly: round trips are bit-exact (tests/test_hevc.py).
+  Remaining documented deviation: context initialization is uniform (same
+  stance and provenance note as the H.264 CABAC init tables, PARITY.md).
+  Encoder and decoder mirror exactly: round trips are bit-exact
+  (tests/test_hevc.py), and an INDEPENDENT scalar oracle
+  (hevc/ref_decoder.py) re-implements the reconstruction math from the
+  spec formulas.
 """
 
 from __future__ import annotations
@@ -71,9 +76,32 @@ def _dequant4(lev, qp):
     return (lev.astype(np.int64) * scale + 16) >> 5
 
 
+# HEVC chroma QP mapping (spec Table 8-10), qPi -> QpC.
+_CHROMA_QP = list(range(30)) + [29, 30, 31, 32, 33, 33, 34, 34, 35, 35,
+                                36, 36, 37, 37]
+
+
+def hevc_chroma_qp(qp: int) -> int:
+    qp = int(np.clip(qp, 0, 51))
+    return _CHROMA_QP[qp] if qp < 44 else qp - 6
+
+
 # HEVC up-right diagonal scan for a 4x4 block, DC-first (y, x) pairs.
 DIAG_SCAN = [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2), (3, 0), (2, 1),
              (1, 2), (0, 3), (3, 1), (2, 2), (1, 3), (3, 2), (2, 3), (3, 3)]
+# horizontal / vertical scans (spec 6.5.4) for mode-dependent selection.
+HOR_SCAN = [(y, x) for y in range(4) for x in range(4)]
+VER_SCAN = [(y, x) for x in range(4) for y in range(4)]
+
+
+def scan_for_mode(mode: int):
+    """Mode-dependent scan for 4x4 intra TBs (spec 7.4.9.11 shape):
+    near-horizontal angular modes use the vertical scan and vice versa."""
+    if 6 <= mode <= 14:
+        return VER_SCAN
+    if 22 <= mode <= 30:
+        return HOR_SCAN
+    return DIAG_SCAN
 
 # ctx indices in the shared context space (HEVC slice-local models)
 CTX_PART = 0
@@ -81,6 +109,7 @@ CTX_PREV_LUMA = 1
 CTX_CHROMA = 2
 CTX_CBF_LUMA = 3
 CTX_CBF_CHROMA = 4
+CTX_CBF_CHROMA_ROOT = 5
 CTX_LAST_X = 10  # +0..2
 CTX_LAST_Y = 14
 CTX_SIG = 20  # + scan pos (0..15)
@@ -125,31 +154,109 @@ def _refs_for_tu(plane, mask, x0, y0, n):
     return top, left, corner_v
 
 
-def _pred_tu(mode, top, left, corner, n):
-    """Planar (0) / DC (1) prediction for an n x n TU (spec 8.4.4.2.4-5)."""
-    if mode == 1:  # DC
-        dc = (int(top[:n].sum()) + int(left[:n].sum()) + n) // (2 * n)
-        return np.full((n, n), dc, np.int64)
-    # planar
+# intraPredAngle per mode 2..34 (spec Table 8-4) and invAngle (Table 8-5).
+_PRED_ANGLE = [32, 26, 21, 17, 13, 9, 5, 2, 0, -2, -5, -9, -13, -17, -21,
+               -26, -32, -26, -21, -17, -13, -9, -5, -2, 0, 2, 5, 9, 13,
+               17, 21, 26, 32]
+_INV_ANGLE = {-2: -4096, -5: -1638, -9: -910, -13: -630, -17: -482,
+              -21: -390, -26: -315, -32: -256}
+
+
+def _pred_tu(mode, top, left, corner, n, luma_filter=False):
+    """Intra prediction for an n x n TU: planar (0), DC (1) and angular
+    (2..34) per spec 8.4.4.2.4-6. luma_filter: apply the DC / pure-H/V
+    boundary filters (luma TBs < 32, spec 8.4.4.2.5-6)."""
+    sh = n.bit_length() - 1
+    if mode == 0:  # planar (8.4.4.2.4)
+        p = np.zeros((n, n), np.int64)
+        tr = int(top[n])
+        bl = int(left[n])
+        for y in range(n):
+            for x in range(n):
+                p[y, x] = ((n - 1 - x) * left[y] + (x + 1) * tr
+                           + (n - 1 - y) * top[x] + (y + 1) * bl + n) >> (sh + 1)
+        return p
+    if mode == 1:  # DC (8.4.4.2.5)
+        dc = (int(top[:n].sum()) + int(left[:n].sum()) + n) >> (sh + 1)
+        p = np.full((n, n), dc, np.int64)
+        if luma_filter:
+            p[0, 0] = (left[0] + 2 * dc + top[0] + 2) >> 2
+            for x in range(1, n):
+                p[0, x] = (top[x] + 3 * dc + 2) >> 2
+            for y in range(1, n):
+                p[y, 0] = (left[y] + 3 * dc + 2) >> 2
+        return p
+    # angular (8.4.4.2.6)
+    angle = _PRED_ANGLE[mode - 2]
     p = np.zeros((n, n), np.int64)
-    tr = int(top[n])
-    bl = int(left[n])
-    for y in range(n):
+    if mode >= 18:  # vertical-ish: main reference is the top row
+        ref = np.zeros(2 * n + 1, np.int64)  # ref[k] = sample at x = k - 1
+        ref[0] = corner
+        ref[1 : 2 * n + 1] = top[: 2 * n]
+        if angle < 0:
+            inv = _INV_ANGLE[angle]
+            ext = np.zeros(n + 1, np.int64)  # ref[0], ref[-1] .. ref[-n]
+            ext[0] = corner
+            for k in range(1, n + 1):
+                # ref[-k] = p[-1 + ((-k*invAngle+128)>>8)][-1] (8.4.4.2.6)
+                idx = (k * -inv + 128) >> 8
+                ext[k] = left[min(idx - 1, 2 * n - 1)] if idx >= 1 else corner
+            ref = np.concatenate([ext[:0:-1], ref])
+            base = n  # array[base + t] == ref[t]
+        else:
+            base = 0
+        ref = np.concatenate([ref, ref[-1:]])  # pad: i0+1 unused when fact==0
+        for y in range(n):
+            pos = (y + 1) * angle
+            idx = pos >> 5
+            fact = pos & 31
+            for x in range(n):
+                i0 = base + x + idx + 1
+                p[y, x] = ((32 - fact) * ref[i0] + fact * ref[i0 + 1] + 16) >> 5
+        if mode == 26 and luma_filter:  # pure vertical edge filter
+            for y in range(n):
+                p[y, 0] = np.clip(top[0] + ((left[y] - corner) >> 1), 0, 255)
+        return p
+    # horizontal-ish: mirror roles of top/left, then transpose
+    ref = np.zeros(2 * n + 1, np.int64)
+    ref[0] = corner
+    ref[1 : 2 * n + 1] = left[: 2 * n]
+    if angle < 0:
+        inv = _INV_ANGLE[angle]
+        ext = np.zeros(n + 1, np.int64)
+        ext[0] = corner
+        for k in range(1, n + 1):
+            idx = (k * -inv + 128) >> 8
+            ext[k] = top[min(idx - 1, 2 * n - 1)] if idx >= 1 else corner
+        ref = np.concatenate([ext[:0:-1], ref])
+        base = n
+    else:
+        base = 0
+    ref = np.concatenate([ref, ref[-1:]])  # pad: i0+1 unused when fact==0
+    for x in range(n):
+        pos = (x + 1) * angle
+        idx = pos >> 5
+        fact = pos & 31
+        for y in range(n):
+            i0 = base + y + idx + 1
+            p[y, x] = ((32 - fact) * ref[i0] + fact * ref[i0 + 1] + 16) >> 5
+    if mode == 10 and luma_filter:  # pure horizontal edge filter
         for x in range(n):
-            p[y, x] = ((n - 1 - x) * left[y] + (x + 1) * tr
-                       + (n - 1 - y) * top[x] + (y + 1) * bl + n) >> 3
+            p[0, x] = np.clip(left[0] + ((top[x] - corner) >> 1), 0, 255)
     return p
 
 
 # ------------------------------------------------------- residual coding
 
 
-def _enc_residual4(enc, ctx, lev4):
-    """4x4 TB residual (spec 7.3.8.11 shape, single coefficient group)."""
-    scan = [lev4[y, x] for (y, x) in DIAG_SCAN]
+def _enc_residual4(enc, ctx, lev4, scan_tab=None):
+    """4x4 TB residual (spec 7.3.8.11 shape, single coefficient group).
+    scan_tab: mode-dependent scan (diagonal default)."""
+    scan_tab = DIAG_SCAN if scan_tab is None else scan_tab
+    scan = [lev4[y, x] for (y, x) in scan_tab]
     nz = [i for i, v in enumerate(scan) if v]
     last = nz[-1]
-    lx, ly = DIAG_SCAN[last][1], DIAG_SCAN[last][0]
+    lx, ly = scan_tab[last][1], scan_tab[last][0]
     for prefix, base in ((lx, CTX_LAST_X), (ly, CTX_LAST_Y)):
         for k in range(prefix):
             enc.encode_bin(ctx, base + min(k, 2), 1)
@@ -206,7 +313,9 @@ def _enc_residual4(enc, ctx, lev4):
             rice = min(rice + 1, 4)
 
 
-def _dec_residual4(dec, ctx):
+def _dec_residual4(dec, ctx, scan_tab=None):
+    scan_tab = DIAG_SCAN if scan_tab is None else scan_tab
+
     def tr_prefix(base):
         v = 0
         while v < 3 and dec.decode_bin(ctx, base + min(v, 2)):
@@ -215,7 +324,7 @@ def _dec_residual4(dec, ctx):
 
     lx = tr_prefix(CTX_LAST_X)
     ly = tr_prefix(CTX_LAST_Y)
-    last = next(i for i, (y, x) in enumerate(DIAG_SCAN) if (x, y) == (lx, ly))
+    last = next(i for i, (y, x) in enumerate(scan_tab) if (x, y) == (lx, ly))
     scan = [0] * 16
     sig = [last]
     for i in range(last - 1, -1, -1):
@@ -275,7 +384,7 @@ def _dec_residual4(dec, ctx):
         if abs(val) > (3 << rice):
             rice = min(rice + 1, 4)
     lev4 = np.zeros((4, 4), np.int64)
-    for i, (y, x) in enumerate(DIAG_SCAN):
+    for i, (y, x) in enumerate(scan_tab):
         lev4[y, x] = scan[i]
     return lev4
 
@@ -306,7 +415,7 @@ class _CtuCoder:
         self.Rc = h_pad // 16
         self.Cc = w_pad // 16
         self.qp = qp
-        self.qp_c = min(qp, 51)  # skeleton: zero chroma QP offsets
+        self.qp_c = hevc_chroma_qp(qp)  # spec Table 8-10, zero offsets
         self.y = np.zeros((h_pad, w_pad), np.int64)
         self.u = np.zeros((h_pad // 2, w_pad // 2), np.int64)
         self.v = np.zeros((h_pad // 2, w_pad // 2), np.int64)
@@ -328,24 +437,22 @@ def encode_slice_data(orig_y, orig_u, orig_v, qp: int):
     for r in range(st.Rc):
         for c in range(st.Cc):
             x0, y0 = c * 16, r * 16
-            # CU mode decision: planar vs DC by SAD of the TU-chained recon
-            # would need two passes; use a cheap proxy on the CU border.
             left_m = int(st.modes[r, c - 1]) if c > 0 else None
             top_m = int(st.modes[r - 1, c]) if r > 0 else None
             left_m = None if left_m == -1 else left_m
             top_m = None if top_m == -1 else top_m
-            # try both modes on the luma DC proxy: pick smaller SAD of a
-            # 16x16 one-shot prediction from current refs
+            # CU mode decision over ALL 35 modes on a 16x16 one-shot
+            # prediction proxy (the TU chain would need two passes).
+            top16, left16, corner16 = _refs_for_tu(st.y, st.mask_y, x0, y0, 16)
             best_mode, best_sad = 1, None
-            for m in (0, 1):
-                sad = 0
-                top, left, corner = _refs_for_tu(st.y, st.mask_y, x0, y0, 16)
-                pred = _pred_tu_any(m, top, left, corner, 16)
+            for m in range(35):
+                pred = _pred_tu(m, top16, left16, corner16, 16)
                 sad = int(np.abs(oy[y0:y0 + 16, x0:x0 + 16] - pred).sum())
                 if best_sad is None or sad < best_sad:
                     best_mode, best_sad = m, sad
             mode = best_mode
             st.modes[r, c] = mode
+            scan_tab = scan_for_mode(mode)
 
             enc.encode_bin(ctx, CTX_PART, 1)  # part_mode = PART_2Nx2N
             mpm = _mpm_list(left_m, top_m)
@@ -368,20 +475,25 @@ def encode_slice_data(orig_y, orig_u, orig_v, qp: int):
                     bx = x0 + qx * 8 + tx * 4
                     by = y0 + qy * 8 + ty * 4
                     top, left, corner = _refs_for_tu(st.y, st.mask_y, bx, by, 4)
-                    pred = _pred_tu(mode, top, left, corner, 4)
+                    pred = _pred_tu(mode, top, left, corner, 4,
+                                    luma_filter=True)
                     res = oy[by:by + 4, bx:bx + 4] - pred
                     lev = _quant4(_fwd4(res, DST4), qp)
                     cbf = 1 if np.any(lev) else 0
                     enc.encode_bin(ctx, CTX_CBF_LUMA, cbf)
                     if cbf:
-                        _enc_residual4(enc, ctx, lev)
+                        _enc_residual4(enc, ctx, lev, scan_tab)
                         rq = _inv4(_dequant4(lev, qp), DST4)
                     else:
                         rq = 0
                     st.y[by:by + 4, bx:bx + 4] = np.clip(pred + rq, 0, 255)
                     st.mask_y[by:by + 4, bx:bx + 4] = True
-            # chroma TUs: one 4x4 per 8x8 luma quadrant per component
+            # chroma TUs (one 4x4 per 8x8 luma quadrant per component):
+            # pass 1 computes levels/recon along the TU chain, then the
+            # root cbf_cb/cbf_cr gate per-TB cbf coding (the transform
+            # tree's cbf inheritance, spec 7.3.8.8).
             for comp, (plane, orig) in enumerate(((st.u, ou), (st.v, ov))):
+                tbs = []
                 for qy, qx in _Z4:
                     bx = (x0 >> 1) + qx * 4
                     by = (y0 >> 1) + qy * 4
@@ -391,34 +503,22 @@ def encode_slice_data(orig_y, orig_u, orig_v, qp: int):
                     res = orig[by:by + 4, bx:bx + 4] - pred
                     lev = _quant4(_fwd4(res, DCT4), st.qp_c)
                     cbf = 1 if np.any(lev) else 0
-                    enc.encode_bin(ctx, CTX_CBF_CHROMA, cbf)
-                    if cbf:
-                        _enc_residual4(enc, ctx, lev)
-                        rq = _inv4(_dequant4(lev, st.qp_c), DCT4)
-                    else:
-                        rq = 0
+                    rq = _inv4(_dequant4(lev, st.qp_c), DCT4) if cbf else 0
                     plane[by:by + 4, bx:bx + 4] = np.clip(pred + rq, 0, 255)
+                    tbs.append((lev, cbf))
+                root = 1 if any(cbf for _lev, cbf in tbs) else 0
+                enc.encode_bin(ctx, CTX_CBF_CHROMA_ROOT, root)
+                if root:
+                    for lev, cbf in tbs:
+                        enc.encode_bin(ctx, CTX_CBF_CHROMA, cbf)
+                        if cbf:
+                            _enc_residual4(enc, ctx, lev, scan_tab)
                 if comp == 1:
                     st.mask_c[(y0 >> 1):(y0 >> 1) + 8,
                               (x0 >> 1):(x0 >> 1) + 8] = True
             enc.encode_terminate(
                 1 if (r == st.Rc - 1 and c == st.Cc - 1) else 0)
     return enc.get_bytes(), (st.y, st.u, st.v)
-
-
-def _pred_tu_any(mode, top, left, corner, n):
-    if mode == 1:
-        dc = (int(top[:n].sum()) + int(left[:n].sum()) + n) // (2 * n)
-        return np.full((n, n), dc, np.int64)
-    p = np.zeros((n, n), np.int64)
-    tr = int(top[n])
-    bl = int(left[n])
-    sh = (n.bit_length() - 1) + 1
-    for y in range(n):
-        for x in range(n):
-            p[y, x] = ((n - 1 - x) * left[y] + (x + 1) * tr
-                       + (n - 1 - y) * top[x] + (y + 1) * bl + n) >> sh
-    return p
 
 
 def decode_slice_data(data: bytes, bitpos: int, w_pad: int, h_pad: int,
@@ -454,32 +554,38 @@ def decode_slice_data(data: bytes, bitpos: int, w_pad: int, h_pad: int,
             if dec.decode_bin(ctx, CTX_CHROMA):
                 raise ValueError("non-DM chroma mode unsupported")
             st.modes[r, c] = mode
+            scan_tab = scan_for_mode(mode)
 
             for qy, qx in _Z4:
                 for ty, tx in _Z4:
                     bx = x0 + qx * 8 + tx * 4
                     by = y0 + qy * 8 + ty * 4
                     top, left, corner = _refs_for_tu(st.y, st.mask_y, bx, by, 4)
-                    pred = _pred_tu(mode, top, left, corner, 4)
+                    pred = _pred_tu(mode, top, left, corner, 4,
+                                    luma_filter=True)
                     if dec.decode_bin(ctx, CTX_CBF_LUMA):
-                        lev = _dec_residual4(dec, ctx)
+                        lev = _dec_residual4(dec, ctx, scan_tab)
                         rq = _inv4(_dequant4(lev, qp), DST4)
                     else:
                         rq = 0
                     st.y[by:by + 4, bx:bx + 4] = np.clip(pred + rq, 0, 255)
                     st.mask_y[by:by + 4, bx:bx + 4] = True
             for comp, plane in ((0, st.u), (1, st.v)):
-                for qy, qx in _Z4:
+                root = dec.decode_bin(ctx, CTX_CBF_CHROMA_ROOT)
+                levs = []
+                for _ in range(4):
+                    if root and dec.decode_bin(ctx, CTX_CBF_CHROMA):
+                        levs.append(_dec_residual4(dec, ctx, scan_tab))
+                    else:
+                        levs.append(None)
+                for (qy, qx), lev in zip(_Z4, levs):
                     bx = (x0 >> 1) + qx * 4
                     by = (y0 >> 1) + qy * 4
                     top, left, corner = _refs_for_tu(
                         plane, st.mask_c, bx, by, 4)
                     pred = _pred_tu(mode, top, left, corner, 4)
-                    if dec.decode_bin(ctx, CTX_CBF_CHROMA):
-                        lev = _dec_residual4(dec, ctx)
-                        rq = _inv4(_dequant4(lev, st.qp_c), DCT4)
-                    else:
-                        rq = 0
+                    rq = (_inv4(_dequant4(lev, st.qp_c), DCT4)
+                          if lev is not None else 0)
                     plane[by:by + 4, bx:bx + 4] = np.clip(pred + rq, 0, 255)
                 if comp == 1:
                     st.mask_c[(y0 >> 1):(y0 >> 1) + 8,

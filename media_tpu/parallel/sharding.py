@@ -226,6 +226,166 @@ def make_sharded_encode_fn(mesh: Mesh, height: int, width: int,
     return jax.jit(_fn), rows_local, cap_local
 
 
+def make_sharded_iframe_fn(mesh: Mesh, height: int, width: int,
+                           deblock: bool, i4x4: bool):
+    """Tile-parallel intra frame: each device runs the intra wavefront on its
+    own MB-row tile. With one slice per tile, intra prediction never crosses
+    tile boundaries (top row unavailable at a slice start) and deblocking is
+    slice-local (idc == 2), so per-tile results are identical to the
+    single-chip multi-slice encode of the same geometry."""
+    from ..pipeline.encoder import FrameEncoder
+
+    n_dev = mesh.devices.size
+    n_rows = height // 16
+    if n_rows % n_dev:
+        raise ValueError(f"MB rows {n_rows} not divisible by {n_dev} devices")
+    rows_local = n_rows // n_dev
+    local_enc = FrameEncoder(width, rows_local * 16)
+
+    sym2 = P("tile", None)
+    sym3 = P("tile", None, None)
+    sym4 = P("tile", None, None, None)
+    sym5 = P("tile", None, None, None, None)
+    out_specs = {
+        "mode16": sym2, "chroma_mode": sym2, "dc_levels": sym3,
+        "ac_levels": sym4, "cdc_levels": sym4, "cac_levels": sym5,
+        "recon_y": sym2, "recon_u": sym2, "recon_v": sym2,
+    }
+    if i4x4:
+        out_specs.update({"is_i4": sym2, "modes4": sym3, "luma4_levels": sym4})
+
+    def _fn(y, u, v, qp, qp_c):
+        def shard_fn(y_l, u_l, v_l):
+            return local_enc._encode_iframe_device(
+                y_l.astype(jnp.int32), u_l.astype(jnp.int32),
+                v_l.astype(jnp.int32), qp, qp_c, deblock, i4x4)
+
+        return shard_map(
+            shard_fn, mesh=mesh, in_specs=(P("tile", None),) * 3,
+            out_specs=out_specs,
+        )(y, u, v)
+
+    return jax.jit(_fn)
+
+
+def make_sharded_encode_cbr_fn(mesh: Mesh, height: int, width: int,
+                               cap_local: int, search_range: int = 8,
+                               deblock: bool = True,
+                               adaptive_qp: bool = False,
+                               qp_min: int = 12, qp_max: int = 44):
+    """Multi-chip CBR P-run: the on-device rate-control loop of
+    encoder.py:_encode_pbatch_cbr_device, tile-sharded. Per-tile EXACT bit
+    counts are psum'd over ICI into the shared virtual buffer inside the
+    scan, so every device tracks the identical (qp, buf, cplx) state with no
+    host round trips. With adaptive_qp, the fractional-QP dither runs on
+    GLOBAL MB indices (axis_index offset), and each tile codes mb_qp_delta
+    against its own slice QP (QP prediction resets per slice, spec 7.4.4).
+
+    Returns fn(ys, us, vs, ry, ru, rv, qp0, buf0, cplx0, target) ->
+    (streams (K, n_dev, cap_local), bits (K, n_dev), qps (K,), recon planes,
+    final (qp_f, buf, cplx))."""
+    from ..entropy.device_cavlc import pack_pslice_device
+    from ..pipeline.deblock_apply import deblock_pframe_from_symbols
+    from ..pipeline.pframe_core import chroma_qp_device, unpack_symbols_device
+
+    n_dev = mesh.devices.size
+    n_rows = height // 16
+    n_cols = width // 16
+    rows_local = n_rows // n_dev
+    halo_y = search_range + INTERP_HALO
+    halo_c = search_range // 2 + 2
+    n_mb_local = rows_local * n_cols
+
+    def qstep(qp):
+        return 0.625 * jnp.exp2(qp / 6.0)
+
+    def _fn(ys, us, vs, ry, ru, rv, qp0, buf0, cplx0, target):
+        def shard_fn(ys_l, us_l, vs_l, ry_l, ru_l, rv_l, qp0, buf0, cplx0):
+            tile = jax.lax.axis_index("tile")
+            mb0 = tile * n_mb_local  # global index of this tile's first MB
+
+            def step(carry, frame):
+                ry_l, ru_l, rv_l, qp_f, buf, cplx = carry
+                adj_target = jnp.maximum(target - 0.35 * buf, 0.25 * target)
+                want_qstep = jnp.clip(cplx / adj_target, 0.625, 1024.0)
+                qp_f = jnp.clip(6.0 * jnp.log2(want_qstep / 0.625),
+                                float(qp_min), float(qp_max))
+                if adaptive_qp:
+                    qp = jnp.floor(qp_f).astype(jnp.int32)
+                    frac = qp_f - qp.astype(jnp.float32)
+                    gidx = mb0 + jnp.arange(n_mb_local, dtype=jnp.int32)
+                    thresh = ((gidx * 97) % 128).astype(jnp.float32) / 128.0
+                    qp_map = jnp.clip(qp + (thresh < frac).astype(jnp.int32),
+                                      qp_min, qp_max)
+                    qp_enc = qp_map
+                    qp_c_enc = chroma_qp_device(qp_map)
+                    qp_c = chroma_qp_device(qp)
+                else:
+                    qp = jnp.clip(jnp.round(qp_f), qp_min, qp_max
+                                  ).astype(jnp.int32)
+                    qp_c = chroma_qp_device(qp)
+                    qp_enc, qp_c_enc = qp, qp_c
+                    qp_map = None
+
+                ry_ext = _halo_exchange_rows(ry_l.astype(jnp.int32), halo_y,
+                                             "tile")
+                ru_ext = _halo_exchange_rows(ru_l.astype(jnp.int32), halo_c,
+                                             "tile")
+                rv_ext = _halo_exchange_rows(rv_l.astype(jnp.int32), halo_c,
+                                             "tile")
+                y, u, v = frame
+                out = local_pframe_core(
+                    y.astype(jnp.int32), u.astype(jnp.int32),
+                    v.astype(jnp.int32), ry_ext, ru_ext, rv_ext,
+                    qp_enc, qp_c_enc, search_range, rows_local, n_cols)
+                mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
+                stream, bits = pack_pslice_device(
+                    mv, luma, cdc, cac, cap_local,
+                    qp_map=(None if qp_map is None
+                            else qp_map.reshape(rows_local, n_cols)),
+                    slice_qp=qp)
+                r2 = (out["recon_y"], out["recon_u"], out["recon_v"])
+                if deblock:
+                    eff_map = None
+                    if adaptive_qp:
+                        coded = (jnp.any(luma != 0, axis=(2, 3))
+                                 | jnp.any(cdc != 0, axis=(2, 3))
+                                 | jnp.any(cac != 0, axis=(2, 3, 4)))
+                        vals = jnp.where(coded.reshape(-1), qp_map, -1)
+                        incl = jax.lax.associative_scan(
+                            lambda a, b: jnp.where(b >= 0, b, a), vals)
+                        eff_map = jnp.where(incl >= 0, incl, qp).reshape(
+                            rows_local, n_cols)
+                    r2 = deblock_pframe_from_symbols(
+                        *r2, out["symbols"], qp, qp_c, rows_local, n_cols,
+                        qp_map=eff_map)
+                # Shared virtual buffer: integrate the FRAME's exact bits.
+                bits_tot = jax.lax.psum(bits, "tile").astype(jnp.float32)
+                cplx = 0.75 * cplx + 0.25 * bits_tot * qstep(qp_f)
+                buf = buf + bits_tot - target
+                return (r2 + (qp_f, buf, cplx)), (stream, bits, qp)
+
+            init = (jnp.asarray(ry_l, jnp.uint8),
+                    jnp.asarray(ru_l, jnp.uint8),
+                    jnp.asarray(rv_l, jnp.uint8), qp0, buf0, cplx0)
+            carry, (streams, bits, qps) = jax.lax.scan(
+                step, init, (ys_l, us_l, vs_l))
+            ry_l, ru_l, rv_l, qp_f, buf, cplx = carry
+            return (streams[:, None, :], bits[:, None], qps, ry_l, ru_l,
+                    rv_l, qp_f[None], buf[None], cplx[None])
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, "tile", None),) * 3 + (P("tile", None),) * 3
+            + (P(), P(), P()),
+            out_specs=(P(None, "tile", None), P(None, "tile"), P(),
+                       P("tile", None), P("tile", None), P("tile", None),
+                       P(), P(), P()),
+        )(ys, us, vs, ry, ru, rv, qp0, buf0, cplx0)
+
+    return jax.jit(_fn, static_argnums=(9,))
+
+
 class ShardedEncoderSession:
     """Multi-chip encoder session: num_slices == n_devices row tiles, each
     encoded end to end on its own device (the ni_rsrc multi-ASIC analog,
@@ -250,11 +410,77 @@ class ShardedEncoderSession:
         self._fn, self.rows_local, self.cap_local = make_sharded_encode_fn(
             self.mesh, self.base._pad_h, self.base._pad_w,
             deblock=cfg.deblock)
+        self._cbr_fns: dict = {}  # cap_local -> compiled CBR fn
+        self._ifn = None
         self._frame_spec = NamedSharding(self.mesh, P(None, "tile", None))
         self._ref_spec = NamedSharding(self.mesh, P("tile", None))
 
-    def encode_frames(self, i420_frames) -> list[bytes]:
+    def force_keyframe(self) -> None:
+        self.base.force_keyframe()
+
+    def _encode_idr_sharded(self, y, u, v) -> bytes:
+        """IDR on the mesh: tile-parallel intra wavefront, then the base
+        session's slice/NAL assembly from the gathered symbols."""
+        from ..ops.transform import chroma_qp
+        from ..pipeline.encoder import IFrameResult
+
+        base = self.base
+        cfg = self.cfg
+        if self._ifn is None:
+            self._ifn = make_sharded_iframe_fn(
+                self.mesh, base._pad_h, base._pad_w,
+                deblock=cfg.deblock, i4x4=cfg.i4x4)
+        qp_i = base._idr_qp()
+        y_d = jax.device_put(y, self._ref_spec)
+        u_d = jax.device_put(u, self._ref_spec)
+        v_d = jax.device_put(v, self._ref_spec)
+        out = self._ifn(y_d, u_d, v_d, jnp.int32(qp_i),
+                        jnp.int32(int(chroma_qp(qp_i))))
+        result = IFrameResult(
+            mode16=np.asarray(out["mode16"]),
+            chroma_mode=np.asarray(out["chroma_mode"]),
+            dc_levels=np.asarray(out["dc_levels"]),
+            ac_levels=np.asarray(out["ac_levels"]),
+            cdc_levels=np.asarray(out["cdc_levels"]),
+            cac_levels=np.asarray(out["cac_levels"]),
+            recon_y=out["recon_y"],  # stays tile-sharded on the mesh
+            recon_u=out["recon_u"],
+            recon_v=out["recon_v"],
+            is_i4=np.asarray(out["is_i4"]) if cfg.i4x4 else None,
+            modes4=np.asarray(out["modes4"]) if cfg.i4x4 else None,
+            luma4_levels=(np.asarray(out["luma4_levels"])
+                          if cfg.i4x4 else None),
+        )
+        return base._idr_au_from_result(result, qp_i)
+
+    def _cbr_fn(self, cap_local: int):
+        if cap_local not in self._cbr_fns:
+            self._cbr_fns[cap_local] = make_sharded_encode_cbr_fn(
+                self.mesh, self.base._pad_h, self.base._pad_w, cap_local,
+                deblock=self.cfg.deblock, adaptive_qp=self.cfg.adaptive_qp)
+        return self._cbr_fns[cap_local]
+
+    def _pslice_aus_from_streams(self, streams_h, bits_h, k, qps=None):
+        from ..core.nal import H264NalType, wrap_nal
         from ..entropy.device_cavlc import merge_slice_data
+
+        base = self.base
+        n_cols = base.sps.pic_width_in_mbs
+        out = []
+        for j in range(k):
+            qp = self.cfg.qp if qps is None else int(qps[j])
+            au = b""
+            for t, (r0, _r1) in enumerate(base.slice_rows):
+                bw = base._pslice_header_writer(
+                    qp, first_mb=r0 * n_cols, frame_idx=base.frame_idx)
+                merge_slice_data(bw, streams_h[j, t], int(bits_h[j, t]))
+                au += wrap_nal(H264NalType.SLICE, bw.get_bytes(),
+                               nal_ref_idc=2)
+            out.append(au)
+            base.frame_idx += 1
+        return out
+
+    def encode_frames(self, i420_frames) -> list[bytes]:
         from ..utils import yuv
 
         cfg = self.cfg
@@ -267,13 +493,12 @@ class ShardedEncoderSession:
         out: list[bytes] = []
         i = 0
         while i < len(planes):
-            if base.frame_idx % cfg.gop_size == 0 or base.recon is None:
-                out.append(base._encode_idr(*planes[i]))
+            idr_due = (base.frame_idx % cfg.gop_size == 0
+                       or base.recon is None or base._force_idr)
+            if idr_due:
+                base._force_idr = False
+                out.append(self._encode_idr_sharded(*planes[i]))
                 base.frame_idx += 1
-                # Reshard the single-chip recon planes across the tile mesh.
-                base.recon = tuple(
-                    jax.device_put(np.asarray(p), self._ref_spec)
-                    for p in base.recon)
                 i += 1
                 continue
             until_idr = cfg.gop_size - (base.frame_idx % cfg.gop_size)
@@ -284,33 +509,74 @@ class ShardedEncoderSession:
                 np.stack([p[1] for p in planes[i : i + k]]), self._frame_spec)
             vs = jax.device_put(
                 np.stack([p[2] for p in planes[i : i + k]]), self._frame_spec)
+            prev_recon = base.recon
+            if cfg.rc_mode == "cbr":
+                out.extend(self._encode_p_run_cbr_sharded(ys, us, vs, k,
+                                                          prev_recon))
+                i += k
+                continue
             qp = cfg.qp
             from ..ops.transform import chroma_qp
 
             streams, bits, ry, ru, rv = self._fn(
-                ys, us, vs, *base.recon, jnp.int32(qp),
+                ys, us, vs, *prev_recon, jnp.int32(qp),
                 jnp.int32(int(chroma_qp(qp))))
             base.recon = (ry, ru, rv)
             bits_h = np.asarray(bits)
             if bits_h.max() > self.cap_local * 32:
-                raise RuntimeError("per-tile stream budget exceeded; lower "
-                                   "the bitrate or raise cap_local")
-            streams_h = np.asarray(streams)
-            n_cols = base.sps.pic_width_in_mbs
-            for j in range(k):
-                au = b""
-                for t, (r0, _r1) in enumerate(base.slice_rows):
-                    bw = base._pslice_header_writer(
-                        qp, first_mb=r0 * n_cols, frame_idx=base.frame_idx)
-                    merge_slice_data(bw, streams_h[j, t], int(bits_h[j, t]))
-                    from ..core.nal import H264NalType, wrap_nal
+                # Per-tile budget exceeded: fall back (don't raise) to the
+                # single-chip multi-slice host path for this chunk — the
+                # compute math is identical, so recon/bitstream agree.
+                base.recon = tuple(
+                    jax.device_put(np.asarray(p), self._ref_spec)
+                    for p in prev_recon)
+                ys_h = np.stack([p[0] for p in planes[i : i + k]])
+                us_h = np.stack([p[1] for p in planes[i : i + k]])
+                vs_h = np.stack([p[2] for p in planes[i : i + k]])
+                symbols, recon = base._frame_encoder.encode_pframes_batch(
+                    ys_h, us_h, vs_h, *base.recon, qp, deblock=cfg.deblock)
+                base.recon = tuple(
+                    jax.device_put(np.asarray(p), self._ref_spec)
+                    for p in recon)
+                from ..pipeline.pframe_core import unpack_symbols
 
-                    au += wrap_nal(H264NalType.SLICE, bw.get_bytes(),
-                                   nal_ref_idc=2)
-                out.append(au)
-                base.frame_idx += 1
+                for j in range(k):
+                    out.append(base._pslice_au(unpack_symbols(symbols[j])))
+                    base.frame_idx += 1
+                i += k
+                continue
+            streams_h = np.asarray(streams)
+            out.extend(self._pslice_aus_from_streams(streams_h, bits_h, k))
             i += k
         return out
+
+    def _encode_p_run_cbr_sharded(self, ys, us, vs, k, prev_recon):
+        """CBR P run on the mesh: exact per-frame bits psum'd into the
+        shared virtual buffer inside the device scan. On per-tile cap
+        overflow, retries the run at a doubled cap (same initial state =>
+        identical output)."""
+        base = self.base
+        st = base.rc_state
+        cap = self.cap_local
+        while True:
+            fn = self._cbr_fn(cap)
+            (streams, bits, qps, ry, ru, rv, qp_f, buf, cplx) = fn(
+                ys, us, vs, *prev_recon,
+                jnp.float32(st["qp"]), jnp.float32(st["buf"]),
+                jnp.float32(st["cplx"]), float(base._rc_target))
+            bits_h = np.asarray(bits)
+            if bits_h.max() <= cap * 32:
+                break
+            cap *= 2
+            if cap > base._pad_w * base._pad_h:  # hard stop: ~21 bpp
+                raise RuntimeError("CBR tile stream exceeded any budget")
+        base.recon = (ry, ru, rv)
+        base.rc_state = {"qp": float(np.asarray(qp_f)[0]),
+                         "buf": float(np.asarray(buf)[0]),
+                         "cplx": float(np.asarray(cplx)[0])}
+        qps_h = np.asarray(qps)
+        return self._pslice_aus_from_streams(np.asarray(streams), bits_h, k,
+                                             qps=qps_h)
 
     @property
     def recon(self):

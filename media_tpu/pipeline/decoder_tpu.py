@@ -12,10 +12,11 @@ This is the product decode path the reference delegates to the Logan ASIC
 ReferenceDecoder (ref/decoder.py) remains the bit-exactness oracle —
 tests pin this decoder's output equal to it frame by frame.
 
-Scope: the streams this framework's encoder emits (single slice per
-picture, P_Skip/P_L0_16x16 + I_16x16, CAVLC or CABAC, |MV| within the
-supported window). Anything else raises UnsupportedStream and the API layer
-falls back to the reference decoder.
+Scope: the streams this framework's encoder emits — single- or multi-slice
+pictures (row-aligned slices, assembled per picture), P_Skip/P_L0_16x16,
+I_16x16 and I_4x4, CAVLC or CABAC, per-MB QP, |MV| within the supported
+window. Anything else raises UnsupportedStream and the API layer falls back
+to the reference decoder.
 """
 
 from __future__ import annotations
@@ -52,10 +53,16 @@ class UnsupportedStream(Exception):
 # ------------------------------------------------------------- host parsing
 
 
-def parse_pslice_symbols(br: BitReader, R: int, C: int, slice_qp: int = 26):
+def parse_pslice_symbols(br: BitReader, R: int, C: int, slice_qp: int = 26,
+                         partial: bool = False):
     """CAVLC P-slice symbol parse (no reconstruction): the inverse of
     pipeline/slice_coder.write_pslice_mbs. Tracks mb_qp_delta into a per-MB
-    QP map (adaptive-quantization streams)."""
+    QP map (adaptive-quantization streams).
+
+    partial: stop at the RBSP end instead of requiring R*C macroblocks
+    (multi-slice pictures: the caller parses each slice into a local array
+    with slice-local neighbor rules, then assembles). The returned dict's
+    "covered" is the number of MBs parsed."""
     mv = np.zeros((R, C, 2), np.int32)
     luma = np.zeros((R, C, 16, 16), np.int32)
     cdc = np.zeros((R, C, 2, 4), np.int32)
@@ -77,7 +84,7 @@ def parse_pslice_symbols(br: BitReader, R: int, C: int, slice_qp: int = 26):
 
     idx = 0
     n = R * C
-    while idx < n:
+    while idx < n and (not partial or idx == 0 or br.more_rbsp_data()):
         run = br.ue()
         for _ in range(run):
             if idx >= n:
@@ -131,7 +138,7 @@ def parse_pslice_symbols(br: BitReader, R: int, C: int, slice_qp: int = 26):
             chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
         idx += 1
     return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
-            "cac_levels": cac, "qp_map": qp_map}
+            "cac_levels": cac, "qp_map": qp_map, "covered": idx}
 
 
 # -------------------------------------------------------- device P recon
@@ -184,10 +191,10 @@ def _chroma_recon(pred_c, cdc_c, cac_c, qp_c):
     return jnp.clip(pred_c + _blocks8_mb(T.inverse_4x4(d_c)), 0, 255)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 11))
 def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
                          mv, luma, symbols_cdc_cac, deblock: bool, qp,
-                         qp_map=None):
+                         qp_map=None, slice_starts: tuple = ()):
     """qp: slice QP; qp_map: optional (R, C) per-MB QP (mb_qp_delta
     streams) for the residual dequant and the per-edge qPav deblocking
     thresholds (spec 8.7.2)."""
@@ -232,13 +239,20 @@ def _recon_pframe_device(R: int, C: int, ref_y, ref_u, ref_v,
             cac.reshape(n, 120).astype(jnp.int16),
         ], axis=-1).reshape(R, C, SYMBOLS_PER_MB)
         ry, ru, rv = deblock_pframe_from_symbols(ry, ru, rv, symbols, qp,
-                                                 qp_c, R, C, qp_map=qp_map)
+                                                 qp_c, R, C,
+                                                 slice_starts=slice_starts,
+                                                 qp_map=qp_map)
     return ry, ru, rv
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8, 9))
 def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
-                         chroma_sym, qp, deblock: bool):
+                         chroma_sym, qp, deblock: bool,
+                         slice_starts: tuple = (),
+                         deblock_starts: tuple = ()):
+    """slice_starts: rows starting a new slice (intra prediction never
+    crosses them). deblock_starts: rows where the filter must not cross
+    (disable_deblocking_filter_idc == 2; empty when idc == 0)."""
     """Wavefront I_16x16 reconstruction with given modes/levels (the decode
     twin of FrameEncoder._encode_iframe_device's scan)."""
     dc_levels, ac_levels = luma_sym
@@ -250,6 +264,11 @@ def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
     rows_np, cols_np, mask_np = _wave_indices(R, C)
     rows, cols, mask = map(jnp.asarray, (rows_np, cols_np, mask_np))
     n_waves = rows.shape[0]
+    has_top_np = np.ones(R + 2, bool)
+    has_top_np[0] = False
+    for sr in slice_starts:
+        has_top_np[sr] = False  # intra never crosses a slice boundary
+    has_top = jnp.asarray(has_top_np)
 
     state = {
         "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
@@ -261,7 +280,7 @@ def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
         r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
         c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
         valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
-        avail_top = (r > 0) & valid
+        avail_top = has_top[jnp.clip(r, 0, R + 1)] & valid
         avail_left = (c > 0) & valid
         rm1 = jnp.maximum(r - 1, 0)
         cm1 = jnp.maximum(c - 1, 0)
@@ -328,14 +347,16 @@ def _recon_iframe_device(R: int, C: int, mode16, chroma_mode, luma_sym,
     if deblock:
         from .deblock_apply import deblock_iframe
 
-        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C)
+        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C, deblock_starts)
     return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
             rv.astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9, 10))
 def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
-                               chroma_sym, i4_sym, qp, deblock: bool):
+                               chroma_sym, i4_sym, qp, deblock: bool,
+                               slice_starts: tuple = (),
+                               deblock_starts: tuple = ()):
     """Wavefront reconstruction of a mixed I_16x16 / I_4x4 intra frame.
 
     The decode twin of the encoder's i4x4 wave (encoder.py
@@ -354,6 +375,11 @@ def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
     rows_np, cols_np, mask_np = _wave_indices(R, C, skew=2)
     rows, cols, mask = map(jnp.asarray, (rows_np, cols_np, mask_np))
     n_waves = rows.shape[0]
+    has_top_np = np.ones(R + 2, bool)
+    has_top_np[0] = False
+    for sr in slice_starts:
+        has_top_np[sr] = False
+    has_top = jnp.asarray(has_top_np)
 
     state = {
         "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
@@ -365,7 +391,7 @@ def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
         r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)
         c = jax.lax.dynamic_index_in_dim(cols, wave_idx, keepdims=False)
         valid = jax.lax.dynamic_index_in_dim(mask, wave_idx, keepdims=False)
-        avail_top = (r > 0) & valid
+        avail_top = has_top[jnp.clip(r, 0, R + 1)] & valid
         avail_left = (c > 0) & valid
         rm1 = jnp.maximum(r - 1, 0)
         cm1 = jnp.maximum(c - 1, 0)
@@ -492,7 +518,7 @@ def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
     if deblock:
         from .deblock_apply import deblock_iframe
 
-        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C)
+        return deblock_iframe(ry, ru, rv, qp, qp_c, R, C, deblock_starts)
     return (ry.astype(jnp.uint8), ru.astype(jnp.uint8),
             rv.astype(jnp.uint8))
 
@@ -531,24 +557,44 @@ class TpuDecoder:
         br = BitReader(rbsp)
         hdr = SliceHeader.parse(br, sps, pps, nal_type=nal_type,
                                 nal_ref_idc=nal_ref_idc)
-        if hdr.first_mb_in_slice != 0:
-            raise UnsupportedStream("multi-slice pictures: use the reference"
-                                    " decoder")
+        C = sps.pic_width_in_mbs
+        if hdr.first_mb_in_slice % C:
+            raise UnsupportedStream("non-row-aligned slice")
+        if hdr.first_mb_in_slice == 0:
+            self._asm = None  # new picture
         try:
             return self._decode_slice_body(rbsp, br, hdr, nal_ref_idc)
         except UnsupportedStream:
+            self._asm = None
             raise
         except (ValueError, NotImplementedError, IndexError, KeyError,
                 EOFError) as e:
             # Syntax outside this path's envelope (or a stream the scalar
             # reference decoder may still handle): route to the fallback.
+            self._asm = None
             raise UnsupportedStream(str(e)) from e
 
     def _decode_slice_body(self, rbsp, br, hdr, nal_ref_idc: int):
+        """Parse one slice into slice-local symbol arrays (neighbor rules
+        reset at slice boundaries come for free), accumulate into the
+        picture assembly, and reconstruct on device once the picture is
+        complete (multi-slice pictures arrive as several NALs)."""
         sps, pps = self.sps, self.pps
         qp = pps.pic_init_qp + hdr.slice_qp_delta
         R, C = sps.pic_height_in_mbs, sps.pic_width_in_mbs
-        deblock = hdr.disable_deblocking_filter_idc != 1
+        r0 = hdr.first_mb_in_slice // C
+        n_avail = R - r0
+
+        asm = getattr(self, "_asm", None)
+        if asm is None:
+            asm = self._asm = {
+                "is_p": hdr.is_p, "covered": 0, "slice_starts": [],
+                "qp0": qp, "idc": hdr.disable_deblocking_filter_idc,
+                "qp_map": np.full((R, C), qp, np.int32),
+            }
+        if asm["is_p"] != hdr.is_p or asm["covered"] != r0 * C:
+            raise UnsupportedStream("mixed/out-of-order slices in a picture")
+        asm["slice_starts"].append(r0)
 
         if hdr.is_p:
             if self.ref_planes is None:
@@ -558,59 +604,108 @@ class TpuDecoder:
 
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
-                sym = parse_pslice_cabac(rbsp, pos, R, C, qp,
+                sym = parse_pslice_cabac(rbsp, pos, n_avail, C, qp,
                                          hdr.cabac_init_idc)
-                sym["qp_map"] = np.full((R, C), qp, np.int32)
+                sym["qp_map"] = np.full((n_avail, C), qp, np.int32)
             else:
-                sym = parse_pslice_symbols(br, R, C, slice_qp=qp)
-            if np.abs(sym["mv"] >> 2).max() > MV_RANGE - 2:
-                raise UnsupportedStream("MV beyond the device MC window")
-            qp_varies = bool((sym["qp_map"] != qp).any())
-            ry, ru, rv = _recon_pframe_device(
-                R, C, *self.ref_planes,
-                jnp.asarray(sym["mv"]), jnp.asarray(sym["luma_levels"]),
-                (jnp.asarray(sym["cdc_levels"]),
-                 jnp.asarray(sym["cac_levels"])),
-                deblock, jnp.int32(qp),
-                jnp.asarray(sym["qp_map"]) if qp_varies else None)
+                sym = parse_pslice_symbols(br, n_avail, C, slice_qp=qp,
+                                           partial=True)
+            covered = int(sym["covered"])
+            if covered % C:
+                raise UnsupportedStream("slice ends mid-row")
+            rows = covered // C
+            if asm.setdefault("fields", None) is None:
+                asm["fields"] = {
+                    "mv": np.zeros((R, C, 2), np.int32),
+                    "luma_levels": np.zeros((R, C, 16, 16), np.int32),
+                    "cdc_levels": np.zeros((R, C, 2, 4), np.int32),
+                    "cac_levels": np.zeros((R, C, 2, 4, 15), np.int32),
+                }
+            for k in ("mv", "luma_levels", "cdc_levels", "cac_levels"):
+                asm["fields"][k][r0 : r0 + rows] = sym[k][:rows]
+            asm["qp_map"][r0 : r0 + rows] = sym["qp_map"][:rows]
         else:
             if pps.entropy_coding_mode:
                 from ..entropy.cabac_slice import parse_islice_cabac
 
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
-                s = parse_islice_cabac(rbsp, pos, R, C, qp)
+                sy = parse_islice_cabac(rbsp, pos, n_avail, C, qp)
             else:
                 from .slice_coder import parse_islice_mbs
 
-                p = parse_islice_mbs(br, R, C, qp)
-                s = {"mode16": p.mode16, "chroma_mode": p.chroma_mode,
-                     "dc_levels": p.dc_levels, "ac_levels": p.ac_levels,
-                     "cdc_levels": p.cdc_levels, "cac_levels": p.cac_levels,
-                     "is_i4": p.is_i4, "modes4": p.modes4,
-                     "luma4_levels": p.luma4_levels}
-            has_i4 = (s.get("is_i4") is not None
-                      and np.asarray(s["is_i4"]).any())
+                pr = parse_islice_mbs(br, n_avail, C, qp, partial=True)
+                sy = {"mode16": pr.mode16, "chroma_mode": pr.chroma_mode,
+                      "dc_levels": pr.dc_levels, "ac_levels": pr.ac_levels,
+                      "cdc_levels": pr.cdc_levels,
+                      "cac_levels": pr.cac_levels, "is_i4": pr.is_i4,
+                      "modes4": pr.modes4, "luma4_levels": pr.luma4_levels,
+                      "covered": pr.covered}
+            covered = int(sy["covered"])
+            if covered % C:
+                raise UnsupportedStream("slice ends mid-row")
+            rows = covered // C
+            if asm.setdefault("fields", None) is None:
+                asm["fields"] = {
+                    "mode16": np.zeros((R, C), np.int32),
+                    "chroma_mode": np.zeros((R, C), np.int32),
+                    "dc_levels": np.zeros((R, C, 16), np.int32),
+                    "ac_levels": np.zeros((R, C, 16, 15), np.int32),
+                    "cdc_levels": np.zeros((R, C, 2, 4), np.int32),
+                    "cac_levels": np.zeros((R, C, 2, 4, 15), np.int32),
+                    "is_i4": np.zeros((R, C), bool),
+                    "modes4": np.zeros((R, C, 16), np.int32),
+                    "luma4_levels": np.zeros((R, C, 16, 16), np.int32),
+                }
+            for k in ("mode16", "chroma_mode", "dc_levels", "ac_levels",
+                      "cdc_levels", "cac_levels", "is_i4", "modes4",
+                      "luma4_levels"):
+                asm["fields"][k][r0 : r0 + rows] = sy[k][:rows]
+
+        asm["covered"] += covered
+        if asm["covered"] < R * C:
+            return None  # picture incomplete; wait for the next slice
+        self._asm = None
+        return self._finish_picture(asm, hdr, nal_ref_idc, R, C)
+
+    def _finish_picture(self, asm, hdr, nal_ref_idc: int, R: int, C: int):
+        qp = asm["qp0"]
+        deblock = asm["idc"] != 1
+        slice_starts = tuple(sr for sr in asm["slice_starts"] if sr > 0)
+        deblock_starts = slice_starts if asm["idc"] == 2 else ()
+        f = asm["fields"]
+        if asm["is_p"]:
+            if np.abs(f["mv"] >> 2).max() > MV_RANGE - 2:
+                raise UnsupportedStream("MV beyond the device MC window")
+            qp_varies = bool((asm["qp_map"] != qp).any())
+            ry, ru, rv = _recon_pframe_device(
+                R, C, *self.ref_planes,
+                jnp.asarray(f["mv"]), jnp.asarray(f["luma_levels"]),
+                (jnp.asarray(f["cdc_levels"]), jnp.asarray(f["cac_levels"])),
+                deblock, jnp.int32(qp),
+                jnp.asarray(asm["qp_map"]) if qp_varies else None,
+                deblock_starts)
+        else:
+            has_i4 = f["is_i4"] is not None and np.asarray(f["is_i4"]).any()
             if has_i4:
                 ry, ru, rv = _recon_iframe_mixed_device(
-                    R, C, jnp.asarray(s["mode16"]),
-                    jnp.asarray(s["chroma_mode"]),
-                    (jnp.asarray(s["dc_levels"]),
-                     jnp.asarray(s["ac_levels"])),
-                    (jnp.asarray(s["cdc_levels"]),
-                     jnp.asarray(s["cac_levels"])),
-                    (jnp.asarray(s["is_i4"]).astype(np.int32),
-                     jnp.asarray(s["modes4"]),
-                     jnp.asarray(s["luma4_levels"])),
-                    jnp.int32(qp), deblock)
+                    R, C, jnp.asarray(f["mode16"]),
+                    jnp.asarray(f["chroma_mode"]),
+                    (jnp.asarray(f["dc_levels"]), jnp.asarray(f["ac_levels"])),
+                    (jnp.asarray(f["cdc_levels"]),
+                     jnp.asarray(f["cac_levels"])),
+                    (jnp.asarray(f["is_i4"]).astype(np.int32),
+                     jnp.asarray(f["modes4"]),
+                     jnp.asarray(f["luma4_levels"])),
+                    jnp.int32(qp), deblock, slice_starts, deblock_starts)
             else:
                 ry, ru, rv = _recon_iframe_device(
-                    R, C, jnp.asarray(s["mode16"]),
-                    jnp.asarray(s["chroma_mode"]),
-                    (jnp.asarray(s["dc_levels"]), jnp.asarray(s["ac_levels"])),
-                    (jnp.asarray(s["cdc_levels"]),
-                     jnp.asarray(s["cac_levels"])),
-                    jnp.int32(qp), deblock)
+                    R, C, jnp.asarray(f["mode16"]),
+                    jnp.asarray(f["chroma_mode"]),
+                    (jnp.asarray(f["dc_levels"]), jnp.asarray(f["ac_levels"])),
+                    (jnp.asarray(f["cdc_levels"]),
+                     jnp.asarray(f["cac_levels"])),
+                    jnp.int32(qp), deblock, slice_starts, deblock_starts)
 
         if nal_ref_idc != 0:
             self.ref_planes = (ry, ru, rv)

@@ -413,21 +413,25 @@ class FrameEncoder:
         orig_u = u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
         orig_v = v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
 
+        # Derive the zero init from the input so the scan carry is
+        # device-varying under shard_map (a constant carry fails to unify
+        # with the varying scan body when this runs tile-sharded).
+        z0 = y[0, 0] * 0
         state = {
-            "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32),
-            "recon_u": jnp.zeros((R, C, 8, 8), jnp.int32),
-            "recon_v": jnp.zeros((R, C, 8, 8), jnp.int32),
-            "mode16": jnp.zeros((R, C), jnp.int32),
-            "chroma_mode": jnp.zeros((R, C), jnp.int32),
-            "dc_levels": jnp.zeros((R, C, 16), jnp.int32),
-            "ac_levels": jnp.zeros((R, C, 16, 15), jnp.int32),
-            "cdc_levels": jnp.zeros((R, C, 2, 4), jnp.int32),
-            "cac_levels": jnp.zeros((R, C, 2, 4, 15), jnp.int32),
+            "recon_y": jnp.zeros((R, C, 16, 16), jnp.int32) + z0,
+            "recon_u": jnp.zeros((R, C, 8, 8), jnp.int32) + z0,
+            "recon_v": jnp.zeros((R, C, 8, 8), jnp.int32) + z0,
+            "mode16": jnp.zeros((R, C), jnp.int32) + z0,
+            "chroma_mode": jnp.zeros((R, C), jnp.int32) + z0,
+            "dc_levels": jnp.zeros((R, C, 16), jnp.int32) + z0,
+            "ac_levels": jnp.zeros((R, C, 16, 15), jnp.int32) + z0,
+            "cdc_levels": jnp.zeros((R, C, 2, 4), jnp.int32) + z0,
+            "cac_levels": jnp.zeros((R, C, 2, 4, 15), jnp.int32) + z0,
         }
         if i4x4:
-            state["is_i4"] = jnp.zeros((R, C), bool)
-            state["modes4"] = jnp.zeros((R, C, 16), jnp.int32)
-            state["luma4_levels"] = jnp.zeros((R, C, 16, 16), jnp.int32)
+            state["is_i4"] = jnp.zeros((R, C), bool) | (z0 == 1)
+            state["modes4"] = jnp.zeros((R, C, 16), jnp.int32) + z0
+            state["luma4_levels"] = jnp.zeros((R, C, 16, 16), jnp.int32) + z0
 
         def wave_step(state, wave_idx):
             r = jax.lax.dynamic_index_in_dim(rows, wave_idx, keepdims=False)

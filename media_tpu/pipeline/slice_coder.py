@@ -207,10 +207,14 @@ class ParsedISlice:
     is_i4: np.ndarray | None = None
     modes4: np.ndarray | None = None
     luma4_levels: np.ndarray | None = None
+    covered: int = 0  # macroblocks parsed (== n_rows*n_cols unless partial)
 
 
-def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> ParsedISlice:
-    """Parse all MBs of an I slice written by write_islice_mbs."""
+def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int,
+                     partial: bool = False) -> ParsedISlice:
+    """Parse MBs of an I slice written by write_islice_mbs. With partial,
+    stop at the RBSP end (one slice of a multi-slice picture parsed into a
+    slice-local array); `covered` reports the parsed MB count."""
     st = _MbGridCoder(n_rows, n_cols)
     mode16 = np.zeros((n_rows, n_cols), np.int32)
     chroma_mode = np.zeros((n_rows, n_cols), np.int32)
@@ -223,8 +227,16 @@ def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> Parsed
     luma4_levels = np.zeros((n_rows, n_cols, 16, 16), np.int32)
     mode_grid = np.full((n_rows * 4, n_cols * 4), -1, np.int32)
 
+    covered = 0
+    done = False
     for r in range(n_rows):
+        if done:
+            break
         for c in range(n_cols):
+            if partial and covered > 0 and not br.more_rbsp_data():
+                done = True
+                break
+            covered += 1
             mb_type = br.ue()
             if mb_type == 0:  # I_4x4
                 is_i4[r, c] = True
@@ -319,6 +331,7 @@ def parse_islice_mbs(br: BitReader, n_rows: int, n_cols: int, qp: int) -> Parsed
         is_i4=is_i4,
         modes4=modes4,
         luma4_levels=luma4_levels,
+        covered=covered,
     )
 
 

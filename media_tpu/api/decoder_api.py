@@ -187,6 +187,7 @@ class VideoDecoder:
         VideoDecoderNetint.cpp:591-594); a corrupt access unit is not a
         transport error."""
         self._decoder = self._make_decoder()
+        self._leftover = b""  # drop buffered bytes of the failed segment
         if self._saved_headers:
             try:
                 self._decoder.decode_annexb(self._saved_headers)

@@ -91,15 +91,16 @@ def test_corrupt_au_keeps_session_alive():
         got += 1
     assert got == 3
 
-    # Corrupt the 4th AU's slice payload: parse error -> DECODE_FAIL,
-    # session still up (no NOT_INITED afterwards).
+    # Corrupt the 4th AU's slice payload: the parse error surfaces as
+    # DECODE_FAIL at whichever send flushes those bytes out of the leftover
+    # assembly (this one or the next), and the session stays alive.
     bad = bytearray(aus[3])
     bad[len(bad) // 2 :] = bytes(len(bad) - len(bad) // 2)
     code = dec.send_stream_data(bytes(bad))
-    assert code in (DecoderRetCode.VIDEO_DECODER_DECODE_FAIL,
-                    DecoderRetCode.VIDEO_DECODER_SUCCESS)
+    code2 = dec.send_stream_data(aus[3])
+    assert DecoderRetCode.VIDEO_DECODER_DECODE_FAIL in (code, code2)
 
-    # The next intact IDR resumes decoding.
+    # After recovery the next intact IDR resumes decoding.
     assert dec.send_stream_data(aus[3]) == DecoderRetCode.VIDEO_DECODER_SUCCESS
     for au in aus[4:]:
         assert dec.send_stream_data(au) == DecoderRetCode.VIDEO_DECODER_SUCCESS

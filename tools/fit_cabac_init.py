@@ -30,6 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
+
 from media_tpu.entropy import cabac_slice
 from media_tpu.entropy.cabac_contexts import NUM_CTX
 from media_tpu.pipeline.encoder import FrameEncoder

@@ -20,6 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
+
 
 def main():
     w = int(sys.argv[1]) if len(sys.argv) > 1 else 320

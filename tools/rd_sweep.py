@@ -21,7 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-QPS = [24, 28, 32, 36]
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
+
+QPS = [26, 32, 38]
 
 
 def clips(w, h, n):
@@ -55,9 +65,9 @@ def main():
     from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
     from media_tpu.utils import yuv
 
-    w = int(sys.argv[1]) if len(sys.argv) > 1 else 320
-    h = int(sys.argv[2]) if len(sys.argv) > 2 else 192
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    w = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     data = clips(w, h, n)
     curves = {}
@@ -76,7 +86,12 @@ def main():
                 pts.append({"qp": qp, "kbit_per_frame": bits / n / 1000,
                             "y_psnr_last": round(float(ps), 3)})
             curves[f"{clip}_{entropy}"] = pts
-            print(clip, entropy, [p["kbit_per_frame"] for p in pts])
+            print(clip, entropy, [p["kbit_per_frame"] for p in pts],
+                  flush=True)
+            # Hundreds of in-process XLA compiles exhaust LLVM's JIT section
+            # memory; drop executables between curves (the persistent
+            # compilation cache keeps recompiles cheap).
+            jax.clear_caches()
 
     # CABAC saving at matched QP (same recon => same PSNR; pure rate delta).
     savings = []
@@ -98,7 +113,7 @@ def main():
     deltas = []
     uniform = np.zeros((cit.NUM_CTX, 2), np.int32)
     uniform[:, 1] = 64
-    for qp in (28, 34):
+    for qp in (26, 32):
         ir = enc.encode_iframe(*[f.astype(np.int32) for f in frames[0]], qp)
         recon = (ir.recon_y, ir.recon_u, ir.recon_v)
         pr = enc.encode_pframe(*[f.astype(np.int32) for f in frames[1]],

@@ -148,12 +148,16 @@ def main():
             width=w, height=h, qp=qp, gop_size=300, rc_mode="cbr",
             bitrate=8_000_000, framerate=30, deblock=True, cabac=True,
             i4x4=True, cabac_init_idc=1))
-        ops.encode_frame(yuv.pack_i420(*frames[0]))  # warm IDR + P compiles
-        ops.encode_frame(yuv.pack_i420(*frames[1]))
-        n_ops = min(6, n)
+        # Warm: IDR + one batched P chunk (compiles the CBR-symbols scan).
+        ops.encode_frame(yuv.pack_i420(*frames[0]))
+        ops.encode_frames(
+            [yuv.pack_i420(*f) for f in frames[1 : 1 + ops.PIPELINE_CHUNK]])
+        n_ops = min(8, n)
+        bufs_ops = [yuv.pack_i420(*f)
+                    for f in frames[1 + ops.PIPELINE_CHUNK :
+                                    1 + ops.PIPELINE_CHUNK + n_ops]]
         t0 = time.perf_counter()
-        for y_, u_, v_ in frames[2 : 2 + n_ops]:
-            ops.encode_frame(yuv.pack_i420(y_, u_, v_))
+        ops_aus = ops.encode_frames(bufs_ops)
         ops_fps = n_ops / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# ops-point bench skipped: {e}", flush=True)

@@ -197,7 +197,8 @@ int enc_block(Enc& e, Ctx& c, int cat, const int32_t* levels, int cbf_inc) {
     int lv = levels[i];
     int a = (lv < 0 ? -lv : lv) - 1;
     int inc0 = num_gt1 ? 0 : (1 + num_eq1 < 4 ? 1 + num_eq1 : 4);
-    int incN = 5 + (num_gt1 < 4 ? num_gt1 : 4);
+    int cap = cat == 3 ? 3 : 4;  // chroma DC caps at 3 (9.3.3.1.3)
+    int incN = 5 + (num_gt1 < cap ? num_gt1 : cap);
     auto ctx_of = [&](int k) { return aoff + (k == 0 ? inc0 : incN); };
     enc_tu(e, c, a < 14 ? a : 14, 14, ctx_of);
     if (a >= 14) enc_eg_bypass(e, a - 14, 0);
@@ -230,24 +231,28 @@ struct CbfState {
   int8_t& Cdc(int comp, int r, int c) {
     return chroma_dc[((size_t)comp * R + r) * C + c];
   }
+  // Current MB's prediction class: unavailable neighbors contribute
+  // condTermFlag = 1 for intra MBs, 0 for inter (spec 9.3.3.1.1.9).
+  int intra = 0;
+  int edge() const { return intra ? 1 : 0; }
   int inc_luma(int by, int bx) {
-    int a = bx > 0 ? L(by, bx - 1) : 0;
-    int b = by > 0 ? L(by - 1, bx) : 0;
+    int a = bx > 0 ? L(by, bx - 1) : edge();
+    int b = by > 0 ? L(by - 1, bx) : edge();
     return a + 2 * b;
   }
   int inc_chroma(int comp, int by, int bx) {
-    int a = bx > 0 ? Ch(comp, by, bx - 1) : 0;
-    int b = by > 0 ? Ch(comp, by - 1, bx) : 0;
+    int a = bx > 0 ? Ch(comp, by, bx - 1) : edge();
+    int b = by > 0 ? Ch(comp, by - 1, bx) : edge();
     return a + 2 * b;
   }
   int inc_luma_dc(int r, int c) {
-    int a = c > 0 ? Ldc(r, c - 1) : 0;
-    int b = r > 0 ? Ldc(r - 1, c) : 0;
+    int a = c > 0 ? Ldc(r, c - 1) : edge();
+    int b = r > 0 ? Ldc(r - 1, c) : edge();
     return a + 2 * b;
   }
   int inc_chroma_dc(int comp, int r, int c) {
-    int a = c > 0 ? Cdc(comp, r, c - 1) : 0;
-    int b = r > 0 ? Cdc(comp, r - 1, c) : 0;
+    int a = c > 0 ? Cdc(comp, r, c - 1) : edge();
+    int b = r > 0 ? Cdc(comp, r - 1, c) : edge();
     return a + 2 * b;
   }
 };
@@ -496,6 +501,7 @@ extern "C" int64_t mtpu_cabac_write_slice_i(
   ctx.init(qp, init_mn);
   Enc e;
   CbfState st(R, C);
+  st.intra = 1;  // I slice: edge condTermFlag = 1 (9.3.3.1.1.9)
   std::vector<int32_t> cm_map((size_t)R * C, 0);
   std::vector<int8_t> i4_map((size_t)R * C, 0);
   std::vector<int32_t> cbp_map((size_t)R * C, 0);
@@ -531,11 +537,16 @@ extern "C" int64_t mtpu_cabac_write_slice_i(
         for (int zi = 0; zi < 16; zi++) {
           int bi = kZscanToRaster[zi];
           int gy = r * 4 + bi / 4, gx = c * 4 + bi % 4;
-          int a = gx > 0 ? mg(gy, gx - 1) : -1;
-          int b = gy > 0 ? mg(gy - 1, gx) : -1;
-          if (a < 0) a = 2;
-          if (b < 0) b = 2;
-          int pred = a < b ? a : b;
+          int pred;
+          if (gx <= 0 || gy <= 0) {
+            pred = 2;  // dcPredModePredictedFlag (8.3.1.1)
+          } else {
+            int a = mg(gy, gx - 1);
+            int b = mg(gy - 1, gx);
+            if (a < 0) a = 2;
+            if (b < 0) b = 2;
+            pred = a < b ? a : b;
+          }
           int m = m4[zi];
           if (m == pred) {
             e.encode_bin(ctx, I4_PRED_FLAG, 1);

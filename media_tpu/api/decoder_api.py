@@ -78,16 +78,15 @@ class VideoDecoder:
             from ..hevc.ref_decoder import HevcOracleDecoder
 
             return _HevcDecoderAdapter(HevcOracleDecoder())
-        use_tpu = self._backend == "tpu"
-        if self._backend == "auto":
-            import jax
+        if self._backend == "ref":
+            return ReferenceDecoder()
+        # TpuDecoder on every JAX backend (CPU included): it covers the full
+        # envelope this framework emits — CABAC included, which the scalar
+        # oracle does not parse — and falls back to the oracle per chunk on
+        # UnsupportedStream.
+        from ..pipeline.decoder_tpu import TpuDecoder
 
-            use_tpu = jax.default_backend() != "cpu"
-        if use_tpu:
-            from ..pipeline.decoder_tpu import TpuDecoder
-
-            return TpuDecoder()
-        return ReferenceDecoder()
+        return TpuDecoder()
 
     def _fallback_to_reference(self, chunk: bytes):
         """Swap the TPU decoder for the scalar reference mid-stream (feature
@@ -203,7 +202,11 @@ class VideoDecoder:
         if len(data) == 0:  # end-of-stream marker (reference len==0 rule)
             self._eos_pending = True
             # Flush the leftover assembly: with no more data coming, the
-            # buffered trailing NAL is complete by definition.
+            # buffered trailing NAL is complete by definition. The normal
+            # backpressure bound still applies — the caller drains and
+            # re-sends the EOS marker (eos_pending stays set).
+            if self._leftover and len(self._frames) >= MAX_PENDING_FRAMES:
+                return DecoderRetCode.VIDEO_DECODER_WRITE_OVERFLOW
             chunk, self._leftover = self._leftover, b""
             if chunk:
                 return self._decode_chunk(chunk)

@@ -76,13 +76,55 @@ class VideoEncoder:
             log.info("init HEVC %dx%d qp=%d (intra-only)", p.width,
                      p.height, qp)
             return EncoderRetCode.VIDEO_ENCODER_SUCCESS
-        self._session = EncoderSession(
-            EncoderConfig(width=p.width, height=p.height, qp=qp,
-                          gop_size=p.gop_size, profile=p.profile)
-        )
-        log.info("init %dx%d@%d gop=%d profile=%s qp=%d",
-                 p.width, p.height, p.framerate, p.gop_size, p.profile, qp)
+        cfg = self._reference_policy_config(p, qp)
+        self._session = self._place_session(cfg, p)
+        log.info("init %dx%d@%d gop=%d profile=%s rc=%s bitrate=%d cabac=%s "
+                 "qp0=%d", p.width, p.height, p.framerate, p.gop_size,
+                 p.profile, cfg.rc_mode, cfg.bitrate, cfg.cabac, qp)
         return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    @staticmethod
+    def _reference_policy_config(p: P.EncodeParams, qp: int) -> EncoderConfig:
+        """The reference's InitParamExt policy
+        (video_codec/VideoEncoderOpenH264.cpp:239-291): RC_BITRATE_MODE at
+        the persist bitrate property, CABAC (iEntropyCodingModeFlag = 1;
+        gated here on profile >= main since baseline forbids it), in-loop
+        deblocking on, full intra toolset (I_4x4 + I_16x16), GOP =
+        uiIntraPeriod. qp seeds the rate controller's starting point."""
+        return EncoderConfig(
+            width=p.width, height=p.height, qp=qp, gop_size=p.gop_size,
+            profile=p.profile, rc_mode="cbr", bitrate=p.bitrate,
+            framerate=p.framerate, deblock=True, i4x4=True,
+            cabac=p.profile in ("main", "high"))
+
+    def _place_session(self, cfg: EncoderConfig, p: P.EncodeParams):
+        """Least-load multi-chip placement (ni_rsrc_allocate_auto analog,
+        vendor/netint/ni_rsrc_api.h:343-348): with more than one real
+        accelerator, the session lands on a ShardedEncoderSession over the
+        pool's least-loaded devices. Single chip (or CPU test backends,
+        where a 'mesh' is a virtual-device artifact) keeps the single-chip
+        session; property media.tpu.multichip=1/0 forces/disables."""
+        import jax
+
+        want = self._store.get_str(P.KEY_MULTICHIP)
+        devices = jax.devices()
+        auto = len(devices) > 1 and devices[0].platform != "cpu"
+        use_mesh = (want == "1") or (auto and want != "0")
+        if use_mesh and p.height // 16 >= len(devices):
+            try:
+                from ..parallel.sharding import ShardedEncoderSession, get_pool
+
+                pool = get_pool()
+                sid, devs = pool.allocate(p.width, p.height, p.framerate,
+                                          n_devices=len(devices))
+                sess = ShardedEncoderSession(cfg, devices=devs)
+                sess._pool_sid = sid
+                log.info("placed on %d-device mesh (pool id %d)",
+                         len(devs), sid)
+                return sess
+            except Exception as e:
+                log.warn("multi-chip placement failed (%s); single chip", e)
+        return EncoderSession(cfg)
 
     def start_encoder(self) -> EncoderRetCode:
         if self._session is None:
@@ -127,7 +169,16 @@ class VideoEncoder:
         return EncoderRetCode.VIDEO_ENCODER_SUCCESS
 
     def destroy_encoder(self) -> EncoderRetCode:
-        # Idempotent, like the reference's guarded destroy.
+        # Idempotent, like the reference's guarded destroy. A pool-placed
+        # session returns its capacity (ni_rsrc_release_resource analog).
+        sid = getattr(self._session, "_pool_sid", None)
+        if sid is not None:
+            try:
+                from ..parallel.sharding import get_pool
+
+                get_pool().release(sid)
+            except Exception:
+                pass
         self._session = None
         self._started = False
         return EncoderRetCode.VIDEO_ENCODER_SUCCESS
@@ -160,8 +211,8 @@ class VideoEncoder:
 
 
 def _bitrate_to_qp(bitrate: int, width: int, height: int, fps: int) -> int:
-    """Map a target bitrate to a fixed QP (placeholder until the CBR rate
-    controller lands): bits-per-pixel -> QP on a log curve."""
+    """Seed QP for the CBR rate controller's first frame (the controller
+    converges from here): bits-per-pixel -> QP on a log curve."""
     import math
 
     bpp = bitrate / (width * height * fps)

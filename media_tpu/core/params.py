@@ -28,6 +28,10 @@ KEY_GOPSIZE = "persist.vmi.demo.video.encode.gopsize"
 KEY_PROFILE = "persist.vmi.demo.video.encode.profile"
 KEY_PARAM_ADJUSTING = "persist.vmi.video.encode.param_adjusting"
 KEY_FORCE_KEYFRAME = "persist.vmi.video.encode.keyframe"
+# Extension key (no reference analog — the reference's multi-ASIC placement
+# is implicit in ni_rsrc_allocate_auto): "1" forces multi-chip session
+# placement, "0" disables, unset = auto (real backend with >1 device).
+KEY_MULTICHIP = "media.tpu.multichip"
 
 # Validation envelope (reference: VideoEncoderOpenH264.cpp:16-23,159-195).
 MIN_DIM, MAX_DIM = 16, 4096

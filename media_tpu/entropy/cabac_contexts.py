@@ -19,9 +19,8 @@ indices so ctx numbers in cabac_slice.py match the spec tables):
 Initialization (spec 9.3.1.1 machinery, per-slice-type and per-idc tables):
     preCtxState = Clip3(1, 126, ((m * Clip3(0, 51, qp)) >> 4) + n)
 I slices use INIT_MN_I; P slices select INIT_MN_P[cabac_init_idc] via the
-slice header. Table provenance: fit from this encoder's own bin statistics
-(see cabac_init_tables.py — the published spec constants cannot be verified
-in this environment; the deviation is data-only and tracked in PARITY.md).
+slice header. Tables are the normative Table 9-12..9-33 constants
+(cabac_init_tables.py documents provenance + third-party validation).
 """
 
 from __future__ import annotations

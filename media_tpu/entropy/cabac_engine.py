@@ -49,12 +49,16 @@ RANGE_TAB_LPS = np.array([
 # Table 9-45: state transition on LPS; MPS transition is min(state+1, 62).
 TRANS_IDX_LPS = np.array([
     0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
-    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
 ], dtype=np.int32)
 
+# Table 9-45 transIdxMPS: +1 capped at 62; state 63 (the terminate ctx's
+# fixed state) maps to itself.
 TRANS_IDX_MPS = np.minimum(np.arange(64) + 1, 62).astype(np.int32)
+TRANS_IDX_MPS[62] = 62
+TRANS_IDX_MPS[63] = 63
 
 
 class CabacEncoder:

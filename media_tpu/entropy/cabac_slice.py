@@ -7,12 +7,11 @@ derivations (neighbor-based ctxIdxInc for skip/mvd/cbp/cbf), the
 significance-map + reverse-scan level coding of 9.3.2.7, and per-MB
 end_of_slice_flag terminate bins.
 
-Conformance note: the arithmetic engine and binarizations follow the spec;
-context *initialization* is uniform (see cabac_contexts.py) and a small
-number of ctxIdxInc corner rules (unavailable-neighbor defaults) are
-best-effort — encoder and parser here are exact mirrors, so round trips are
-bit-exact regardless (tests/test_cabac.py), and PARITY.md tracks the
-deviation.
+Conformance: engine, binarizations, ctxIdxInc derivations and the normative
+init tables (cabac_init_tables.py) follow the spec; CABAC streams decode
+bit-exactly in third-party decoders (libavcodec harness,
+tests/test_conformance.py). Encoder and parser here are exact mirrors, so
+in-repo round trips are additionally bit-exact (tests/test_cabac.py).
 
 Reference operating point: OpenH264 path runs CABAC
 (/root/reference/video_codec/VideoEncoderOpenH264.cpp:291).
@@ -121,10 +120,11 @@ def _enc_block(enc, ctx, cat, levels, cbf_inc):
                 break
     num_eq1 = num_gt1 = 0
     aoff = cc.ABS_LVL + cc.CAT_OFFSET_ABS[cat]
+    cap = 3 if cat == 3 else 4  # chroma DC caps at 3 (9.3.3.1.3)
     for i in reversed(nz):
         a = abs(int(levels[i])) - 1
         inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
-        incN = 5 + min(4, num_gt1)
+        incN = 5 + min(cap, num_gt1)
 
         def ctx_of(k, inc0=inc0, incN=incN):
             return aoff + (inc0 if k == 0 else incN)
@@ -159,9 +159,10 @@ def _dec_block(dec, ctx, cat, cbf_inc):
         sig_pos.append(mc - 1)  # implied: the final coeff is significant
     num_eq1 = num_gt1 = 0
     aoff = cc.ABS_LVL + cc.CAT_OFFSET_ABS[cat]
+    cap = 3 if cat == 3 else 4  # chroma DC caps at 3 (9.3.3.1.3)
     for i in reversed(sig_pos):
         inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
-        incN = 5 + min(4, num_gt1)
+        incN = 5 + min(cap, num_gt1)
 
         def ctx_of(k, inc0=inc0, incN=incN):
             return aoff + (inc0 if k == 0 else incN)
@@ -184,32 +185,41 @@ def _dec_block(dec, ctx, cat, cbf_inc):
 
 
 class _CbfState:
-    """Neighbor coded_block_flag grids (the CABAC analog of nnz tracking)."""
+    """Neighbor coded_block_flag grids (the CABAC analog of nnz tracking).
+
+    `intra` is the CURRENT MB's prediction class: spec 9.3.3.1.1.9 sets
+    condTermFlagN = 1 for an unavailable neighbor when the current MB is
+    intra-coded (0 when inter) — getting this wrong shifts every residual
+    context at picture/slice edges (caught by the libavcodec harness)."""
 
     def __init__(self, R, C):
         self.luma = np.zeros((R * 4, C * 4), np.int32)
         self.chroma = np.zeros((2, R * 2, C * 2), np.int32)
         self.luma_dc = np.zeros((R, C), np.int32)
         self.chroma_dc = np.zeros((2, R, C), np.int32)
+        self.intra = False
+
+    def _edge(self):
+        return 1 if self.intra else 0
 
     def inc_luma(self, by, bx):
-        a = self.luma[by, bx - 1] if bx > 0 else 0
-        b = self.luma[by - 1, bx] if by > 0 else 0
+        a = self.luma[by, bx - 1] if bx > 0 else self._edge()
+        b = self.luma[by - 1, bx] if by > 0 else self._edge()
         return int(a + 2 * b)
 
     def inc_chroma(self, comp, by, bx):
-        a = self.chroma[comp, by, bx - 1] if bx > 0 else 0
-        b = self.chroma[comp, by - 1, bx] if by > 0 else 0
+        a = self.chroma[comp, by, bx - 1] if bx > 0 else self._edge()
+        b = self.chroma[comp, by - 1, bx] if by > 0 else self._edge()
         return int(a + 2 * b)
 
     def inc_luma_dc(self, r, c):
-        a = self.luma_dc[r, c - 1] if c > 0 else 0
-        b = self.luma_dc[r - 1, c] if r > 0 else 0
+        a = self.luma_dc[r, c - 1] if c > 0 else self._edge()
+        b = self.luma_dc[r - 1, c] if r > 0 else self._edge()
         return int(a + 2 * b)
 
     def inc_chroma_dc(self, comp, r, c):
-        a = self.chroma_dc[comp, r, c - 1] if c > 0 else 0
-        b = self.chroma_dc[comp, r - 1, c] if r > 0 else 0
+        a = self.chroma_dc[comp, r, c - 1] if c > 0 else self._edge()
+        b = self.chroma_dc[comp, r - 1, c] if r > 0 else self._edge()
         return int(a + 2 * b)
 
 
@@ -494,9 +504,13 @@ def _i16_mb_type_parse(dec, ctx, avail_inc):
 
 def _i4_pred_mode(mode_grid, gy, gx):
     """predIntra4x4PredMode (spec 8.3.1.1) — shared rule with the CAVLC
-    coder (pipeline/slice_coder._i4_pred_mode)."""
-    a = int(mode_grid[gy, gx - 1]) if gx > 0 else -1
-    b = int(mode_grid[gy - 1, gx]) if gy > 0 else -1
+    coder (pipeline/slice_coder._i4_pred_mode): an unavailable neighbor
+    forces DC outright (dcPredModePredictedFlag); a non-I4x4 neighbor is
+    DC-substituted inside the min."""
+    if gx <= 0 or gy <= 0:
+        return 2
+    a = int(mode_grid[gy, gx - 1])
+    b = int(mode_grid[gy - 1, gx])
     a = 2 if a < 0 else a
     b = 2 if b < 0 else b
     return min(a, b)
@@ -514,6 +528,7 @@ def write_islice_cabac(mode16, chroma_mode, dc_levels, ac_levels,
     enc = CabacEncoder()
     enc.stats = stats
     st = _CbfState(R, C)
+    st.intra = True  # I slice: edge condTermFlag = 1 (9.3.3.1.1.9)
     cm_map = np.zeros((R, C), np.int32)
     i4_map = np.zeros((R, C), bool)
     cbp_map = np.zeros((R, C), np.int32)
@@ -628,6 +643,7 @@ def parse_islice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int):
     ctx = cc.ContextModels(qp, slice_type="I")
     dec = CabacDecoder(data, bitpos)
     st = _CbfState(R, C)
+    st.intra = True  # I slice: edge condTermFlag = 1 (9.3.3.1.1.9)
     mode16 = np.zeros((R, C), np.int32)
     chroma_mode = np.zeros((R, C), np.int32)
     dc = np.zeros((R, C, 16), np.int32)

@@ -19,7 +19,7 @@ _LEN_CT = [
         [1, 6, 8, 9, 10, 11, 13, 13, 13, 14, 14, 15, 15, 16, 16, 16, 16],
         [0, 2, 6, 8, 9, 10, 11, 13, 13, 14, 14, 15, 15, 15, 16, 16, 16],
         [0, 0, 3, 7, 8, 9, 10, 11, 13, 13, 14, 14, 15, 15, 16, 16, 16],
-        [0, 0, 0, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 15, 16, 16, 16],
+        [0, 0, 0, 5, 6, 7, 8, 9, 10, 11, 13, 14, 14, 15, 15, 16, 16],
     ],
     [  # 2 <= nC < 4
         [2, 6, 6, 7, 8, 8, 9, 11, 11, 12, 12, 12, 13, 13, 13, 14, 14],
@@ -40,7 +40,7 @@ _COD_CT = [
         [1, 5, 7, 7, 7, 7, 15, 11, 8, 15, 11, 15, 11, 15, 11, 7, 4],
         [0, 1, 4, 6, 6, 6, 6, 14, 10, 14, 10, 14, 10, 1, 14, 10, 6],
         [0, 0, 1, 5, 5, 5, 5, 5, 13, 9, 13, 9, 13, 9, 13, 9, 5],
-        [0, 0, 0, 3, 3, 4, 4, 4, 4, 4, 12, 8, 12, 8, 12, 8, 1],
+        [0, 0, 0, 3, 3, 4, 4, 4, 4, 4, 12, 12, 8, 12, 8, 12, 8],
     ],
     [
         [3, 11, 7, 7, 7, 4, 7, 15, 11, 15, 11, 8, 15, 11, 7, 9, 7],
@@ -108,7 +108,7 @@ _LEN_TZ = [
     [1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9],
     [3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6, 6, 6, 6],
     [4, 3, 3, 3, 4, 4, 3, 3, 4, 5, 5, 6, 5, 6],
-    [5, 3, 4, 4, 3, 3, 3, 3, 4, 5, 4, 5, 5],
+    [5, 3, 4, 4, 3, 3, 3, 4, 3, 4, 5, 5, 5],
     [4, 4, 4, 3, 3, 3, 3, 3, 4, 5, 4, 5],
     [6, 5, 3, 3, 3, 3, 3, 3, 4, 3, 6],
     [6, 5, 3, 3, 3, 2, 3, 4, 3, 6],

@@ -584,7 +584,7 @@ def _encode_headers(meta, R, C, qp_map=None, slice_qp=None):
 
 def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
                        out_words: int, qp_map=None, slice_qp=None,
-                       ratio: float = 0.25):
+                       ratio: float = 0.25, bits_only: bool = False):
     """Full on-device P-slice packer.
 
     Inputs are the (R, C, ...) symbol tensors. qp_map/slice_qp select per-MB
@@ -592,6 +592,10 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     uint32 — slice_data bits MSB-first from bit 0 — and total_bits () int32;
     total_bits > out_words*32 signals overflow and the caller must fall back
     to host packing).
+
+    bits_only: skip the bitcat assembly tree and return (zeros, exact
+    total_bits) — the cheap mode for rate-control feedback when the CAVLC
+    stream itself is not emitted (the CABAC session packs on the host).
     """
     R, C = mv.shape[:2]
     n = R * C
@@ -668,6 +672,9 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     ], axis=1).reshape(n * 27)
     chunks_w = jnp.concatenate([chunks_w, pad_words(tw, W)], axis=0)
     chunks_b = jnp.concatenate([chunks_b, tb], axis=0)
+    if bits_only:
+        return (jnp.zeros((out_words,), jnp.uint32),
+                jnp.sum(chunks_b).astype(jnp.int32))
     # Excluded chunks (bits forced to 0 by cbp/skip masks) still hold their
     # codeword bits; the OR-based tree needs them fully zero.
     chunks_w = jnp.where((chunks_b > 0)[:, None], chunks_w, 0)

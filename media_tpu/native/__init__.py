@@ -56,7 +56,20 @@ def _build_lib() -> str | None:
             sys.stderr.write(f"media_tpu.native: build failed ({e}); using Python path\n")
             return None
         os.replace(tmp, so_path)
+    _prune_stale(build_dir, "libmediatpu_", so_path)
     return so_path
+
+
+def _prune_stale(build_dir: str, prefix: str, keep: str) -> None:
+    """Drop stale-hash build artifacts (processes that already dlopened one
+    keep their inode; only the directory entry goes)."""
+    try:
+        for name in os.listdir(build_dir):
+            p = os.path.join(build_dir, name)
+            if name.startswith(prefix) and p != keep:
+                os.unlink(p)
+    except OSError:
+        pass
 
 
 def _load():
@@ -205,6 +218,7 @@ def build_capi() -> str | None:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     so_path = os.path.join(build_dir, f"libVideoCodec_{digest}.so")
     if os.path.exists(so_path):
+        _prune_stale(build_dir, "libVideoCodec_", so_path)
         return so_path
     import sysconfig
 

@@ -223,20 +223,22 @@ def pred_4x4_all(top8, left4, corner, avail_top, avail_left, avail_tr):
 
     p_ddl = grid(ddl)
 
-    def ddr(x, y):
-        if x > y:
-            return (t(x - y - 2) + 2 * t(x - y - 1) + t(x - y) + 2) >> 2
-        if x < y:
-            return (l(y - x - 2) + 2 * l(y - x - 1) + l(y - x) + 2) >> 2
-        return (t(0) + 2 * corner + l(0) + 2) >> 2
-
-    p_ddr = grid(ddr)
-
     def px(i):  # p[i, -1] with p[-1, -1] at i == -1
         return corner if i == -1 else t(i)
 
     def py(i):  # p[-1, i] with p[-1, -1] at i == -1
         return corner if i == -1 else l(i)
+
+    def ddr(x, y):
+        # |x-y| == 1 reaches p[-1,-1]: px/py map index -1 to the corner
+        # (a bare t(-1)/l(-1) would wrap to t[7]/l[3]).
+        if x > y:
+            return (px(x - y - 2) + 2 * px(x - y - 1) + px(x - y) + 2) >> 2
+        if x < y:
+            return (py(y - x - 2) + 2 * py(y - x - 1) + py(y - x) + 2) >> 2
+        return (t(0) + 2 * corner + l(0) + 2) >> 2
+
+    p_ddr = grid(ddr)
 
     def vr(x, y):
         z = 2 * x - y

@@ -167,12 +167,23 @@ class GopDispatcher:
                     bytes_in=sum(len(f) for f in gop_frames),
                     bytes_out=sum(len(a) for a in aus))
 
-        threads = [threading.Thread(target=worker, args=(i,))
+        errors: list = []
+
+        def guarded(widx: int) -> None:
+            try:
+                worker(widx)
+            except BaseException as e:  # surface, don't mask as a None slot
+                with lock:
+                    errors.append(e)
+
+        threads = [threading.Thread(target=guarded, args=(i,))
                    for i in range(min(self.n_workers, len(gops)))]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise errors[0]
         wall = time.perf_counter() - t0
         self._report = DispatchReport(wall_s=wall, n_workers=self.n_workers,
                                       gops=[s for s in stats if s])

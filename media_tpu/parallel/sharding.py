@@ -73,6 +73,20 @@ class DevicePool:
             self._load[i] -= per_dev
 
 
+_POOL = None
+
+
+def get_pool() -> "DevicePool":
+    """Process-global pool over the default backend's devices — the analog
+    of the reference's host-wide shared-memory resource pool
+    (vendor/netint/ni_rsrc_api.h:92-96; one pool per host, sessions from
+    any factory call draw from it)."""
+    global _POOL
+    if _POOL is None:
+        _POOL = DevicePool()
+    return _POOL
+
+
 def _halo_exchange_rows(local, halo: int, axis_name: str):
     """Exchange `halo` boundary rows with ring neighbors along `axis_name`.
 

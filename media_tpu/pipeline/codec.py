@@ -126,6 +126,12 @@ class EncoderSession:
             "buf": 0.0,
             "cplx": target * 0.625 * 2 ** (cfg.qp / 6.0),
         }
+        # CABAC-CBR batch state: the device rate loop runs on CAVLC bit
+        # counts scaled by the running CABAC/CAVLC ratio; the host corrects
+        # the virtual buffer with exact AU sizes one chunk later.
+        self._rc_dev = None   # (qp_f, buf, cplx) device scalars
+        self._rc_corr = 0.0   # pending actual-minus-estimated bits
+        self._cabac_scale = 0.92
 
     def force_keyframe(self) -> None:
         """Analog of the reference's keyframe poll + ForceIntraFrame
@@ -338,14 +344,70 @@ class EncoderSession:
             k = min(len(planes) - i, until_idr)
             enc = self._frame_encoder
             if cfg.rc_mode == "cbr" and cfg.cabac:
-                # CABAC CBR: per-frame host loop with EXACT CABAC bit
-                # accounting (the on-device CBR loop's bit feedback is the
-                # CAVLC packer's; CABAC sizes differ ~10%, so the virtual
-                # buffer must integrate the real emitted bits).
-                drain(0)
-                for j in range(k):
-                    out.append(self._encode_p_cbr_cabac(*planes[i + j]))
-                    self.frame_idx += 1
+                # CABAC CBR, pipelined: the device scan picks QPs from CAVLC
+                # bit counts x the running CABAC/CAVLC ratio (no host round
+                # trip per frame); symbols download + host C++ CABAC packing
+                # happen in finish(), overlapped with the next chunk's device
+                # compute; exact AU sizes correct the virtual buffer one
+                # chunk later.
+                k = min(k, self.PIPELINE_CHUNK)
+                ys = np.stack([p[0] for p in planes[i : i + k]])
+                us = np.stack([p[1] for p in planes[i : i + k]])
+                vs = np.stack([p[2] for p in planes[i : i + k]])
+                ys_d, us_d, vs_d = map(jax.device_put, (ys, us, vs))
+                prev_recon = self.recon
+                if self._rc_dev is not None:
+                    rc_in = {"qp": self._rc_dev[0],
+                             "buf": self._rc_dev[1] + self._rc_corr,
+                             "cplx": self._rc_dev[2]}
+                    self._rc_corr = 0.0
+                else:
+                    rc_in = self.rc_state
+                scale_used = self._cabac_scale
+                sym_d, est_d, qps_d, recon, new_rc = (
+                    enc.encode_pframes_cbr_symbols(
+                        ys_d, us_d, vs_d, prev_recon, rc_in,
+                        int(self._rc_target), bits_scale=scale_used,
+                        deblock=cfg.deblock))
+                self.recon = tuple(recon)
+                self._rc_dev = new_rc
+                frame_base = self.frame_idx
+                self.frame_idx += k
+
+                def finish(sym_d=sym_d, est_d=est_d, qps_d=qps_d,
+                           new_rc=new_rc, k=k, frame_base=frame_base,
+                           scale_used=scale_used) -> list[bytes]:
+                    from .pframe_core import unpack_symbols
+
+                    symbols = np.asarray(sym_d)
+                    est = np.asarray(est_d)
+                    qps = np.asarray(qps_d)
+                    aus = []
+                    ratios = []
+                    for j in range(k):
+                        fields = unpack_symbols(symbols[j])
+                        au = self._pslice_au(fields, qp=int(qps[j]),
+                                             frame_idx=frame_base + j)
+                        actual = len(au) * 8
+                        self._rc_corr += actual - float(est[j])
+                        if est[j] > 0:
+                            ratios.append(actual * scale_used / float(est[j]))
+                        aus.append(au)
+                    if ratios:
+                        r = float(np.mean(ratios))
+                        self._cabac_scale = min(max(
+                            0.7 * self._cabac_scale + 0.3 * r, 0.6), 1.3)
+                    # Refresh the host-visible rc mirror (IDR budgeting and
+                    # the single-frame path read it).
+                    self.rc_state = {
+                        "qp": float(new_rc[0]),
+                        "buf": float(new_rc[1]) + self._rc_corr,
+                        "cplx": float(new_rc[2]),
+                    }
+                    return aus
+
+                pending.append(finish)
+                drain(1)
                 i += k
                 continue
             if cfg.rc_mode == "cbr":
@@ -440,6 +502,8 @@ class EncoderSession:
     def _encode_p_run_cbr(self, ys, us, vs, k: int) -> list[bytes]:
         """CBR path: on-device rate-controlled batch; per-frame QP in headers."""
         cfg = self.cfg
+        self._rc_dev = None
+        self._rc_corr = 0.0
         enc = self._frame_encoder
         cap = self._device_cap()
         streams, bits, qps, recon, new_state = enc.encode_pframes_cbr(
@@ -591,6 +655,10 @@ class EncoderSession:
 
     def _encode_idr(self, y, u, v) -> bytes:
         cfg = self.cfg
+        # Callers drain pending P chunks before an IDR, so the float rc
+        # mirror is current; the device-side carry is superseded.
+        self._rc_dev = None
+        self._rc_corr = 0.0
         qp_i = self._idr_qp()
         result = self._frame_encoder.encode_iframe(y, u, v, qp_i,
                                                    deblock=cfg.deblock,
@@ -703,6 +771,10 @@ class EncoderSession:
         import math
 
         cfg = self.cfg
+        # Host-exact path: the float mirror is current (callers drain the
+        # batch pipeline first); drop any device-side rc carry.
+        self._rc_dev = None
+        self._rc_corr = 0.0
         st = self.rc_state
         target = self._rc_target
         adj_target = max(target - 0.35 * st["buf"], 0.25 * target)

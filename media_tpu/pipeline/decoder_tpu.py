@@ -625,6 +625,13 @@ class TpuDecoder:
                 asm["fields"][k][r0 : r0 + rows] = sym[k][:rows]
             asm["qp_map"][r0 : r0 + rows] = sym["qp_map"][:rows]
         else:
+            if r0 > 0 and qp != asm["qp0"]:
+                # The I reconstruction dequantizes the whole picture at
+                # qp0; a later slice carrying a different slice_qp_delta
+                # would be silently mis-dequantized (the P path threads a
+                # qp_map instead) — route to the scalar fallback.
+                raise UnsupportedStream(
+                    "per-slice QP change in an I picture")
             if pps.entropy_coding_mode:
                 from ..entropy.cabac_slice import parse_islice_cabac
 

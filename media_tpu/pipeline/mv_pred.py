@@ -5,8 +5,21 @@ motion inference rule (spec 8.4.1.1). Both sides of the codec must apply
 identical rules, so they live in one place.
 
 `mv_map` maps (mb_row, mb_col) -> (mvx, mvy) for macroblocks that are
-inter-coded; intra MBs are absent (their refIdx is -1, so they contribute a
-zero MV to the median but never trigger the skip zero-rule).
+inter-coded with the current reference index; intra MBs are absent (their
+refIdx is -1: they contribute a zero MV to the median, never match the
+reference index, and never trigger the skip zero-rule).
+
+Full 8.4.1.3.2 rule order (validated against libavcodec on x264 streams,
+tests/test_conformance.py):
+  1. If the B and C neighbor MBs are unavailable and A is available,
+     the predictor is mvA (zero if A is intra).
+  2. Else if exactly ONE of A/B/C has refIdx equal to the current partition's
+     (here: is present in mv_map), the predictor is that neighbor's MV alone.
+  3. Else the component-wise median with absent/unavailable entries as zero.
+Rule 2 only differs from the median when some neighbor is intra or coded
+against another reference — our own encoder never emits those in P slices
+today, so the device/C++ packers (device_cavlc.py, csrc/*.cpp) implement the
+median-only reduction; this host rule is the decode-side general case.
 """
 
 from __future__ import annotations
@@ -18,17 +31,19 @@ def median3(a, b, c):
 
 def predict_mv(mv_map, r: int, c: int, n_cols: int):
     """Median MV predictor for the 16x16 partition at MB (r, c)."""
-    a = mv_map.get((r, c - 1)) if c > 0 else None
-    b = mv_map.get((r - 1, c)) if r > 0 else None
-    cc = mv_map.get((r - 1, c + 1)) if (r > 0 and c + 1 < n_cols) else None
-    c_avail = r > 0 and c + 1 < n_cols
-    if not c_avail and r > 0 and c > 0:
-        cc = mv_map.get((r - 1, c - 1))  # D substitutes for C
-        c_avail = True
     a_avail = c > 0
     b_avail = r > 0
-    if a_avail and not b_avail and not c_avail:
+    c_pos = (r - 1, c + 1) if (r > 0 and c + 1 < n_cols) else None
+    if c_pos is None and r > 0 and c > 0:
+        c_pos = (r - 1, c - 1)  # D substitutes for C (6.4.11.7)
+    a = mv_map.get((r, c - 1)) if a_avail else None
+    b = mv_map.get((r - 1, c)) if b_avail else None
+    cc = mv_map.get(c_pos) if c_pos is not None else None
+    if a_avail and not b_avail and c_pos is None:
         return a if a is not None else (0, 0)
+    matches = [m for m in (a, b, cc) if m is not None]
+    if len(matches) == 1:
+        return matches[0]
     va = a if a is not None else (0, 0)
     vb = b if b is not None else (0, 0)
     vc = cc if cc is not None else (0, 0)

@@ -44,10 +44,18 @@ class _MbGridCoder:
 
 
 def _i4_pred_mode(mode_grid, gy, gx):
-    """predIntra4x4PredMode (spec 8.3.1.1): min of left/top block modes,
-    with unavailable or non-I4x4 neighbors treated as DC (2)."""
-    a = int(mode_grid[gy, gx - 1]) if gx > 0 else -1
-    b = int(mode_grid[gy - 1, gx]) if gy > 0 else -1
+    """predIntra4x4PredMode (spec 8.3.1.1).
+
+    dcPredModePredictedFlag: if EITHER neighbor block is unavailable
+    (outside the picture/slice) the prediction is DC outright; only an
+    available neighbor coded outside I_4x4 is substituted with DC inside
+    the min. (Conflating the two cases desyncs third-party decoders when
+    an edge block's neighbor carries mode 0/1 — caught by the libavcodec
+    conformance harness, tests/test_conformance.py.)"""
+    if gx <= 0 or gy <= 0:
+        return 2
+    a = int(mode_grid[gy, gx - 1])
+    b = int(mode_grid[gy - 1, gx])
     a = 2 if a < 0 else a
     b = 2 if b < 0 else b
     return min(a, b)

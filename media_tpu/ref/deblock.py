@@ -174,10 +174,18 @@ def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h, qp_map=None):
             np.clip(v, 0, 255).astype(np.uint8))
 
 
-def inter_bs_grids_np(nnz_blk, mv_qpel):
-    """Numpy twin of ops.deblock.inter_bs_grids."""
+def inter_bs_grids_np(nnz_blk, mv_qpel, intra_mb=None):
+    """Numpy twin of ops.deblock.inter_bs_grids.
+
+    intra_mb: optional (R, C) bool grid of intra-coded MBs inside the P
+    picture (spec 8.7.2.1: an edge with an intra neighbor takes bS 4 on MB
+    edges, 3 inside the MB — our own encoder never emits intra-in-P, but
+    conformant third-party streams do; caught by test_conformance)."""
     nz = (nnz_blk > 0).astype(np.int32)
     mv_blk = np.repeat(np.repeat(mv_qpel, 4, axis=0), 4, axis=1)
+    intra_blk = (None if intra_mb is None or not np.any(intra_mb)
+                 else np.repeat(np.repeat(np.asarray(intra_mb, bool), 4, 0),
+                                4, 1))
 
     def bs_dir(axis):
         nz_n = np.roll(nz, 1, axis=axis)
@@ -185,6 +193,15 @@ def inter_bs_grids_np(nnz_blk, mv_qpel):
         mv_n = np.roll(mv_blk, 1, axis=axis)
         far = np.any(np.abs(mv_blk - mv_n) >= 4, axis=-1)
         bs = np.where(coded, 2, np.where(far, 1, 0)).astype(np.int32)
+        if intra_blk is not None:
+            either = intra_blk | np.roll(intra_blk, 1, axis=axis)
+            mb_edge = np.zeros_like(bs, bool)
+            if axis == 1:
+                mb_edge[:, 0::4] = True
+            else:
+                mb_edge[0::4, :] = True
+            bs = np.where(either & mb_edge, 4,
+                          np.where(either, 3, bs)).astype(np.int32)
         if axis == 1:
             bs[:, 0] = 0
         else:

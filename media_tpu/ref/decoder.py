@@ -129,6 +129,13 @@ class ReferenceDecoder:
 
     # ------------------------------------------------------------------ slice
 
+    def _qpc(self, qp: int) -> int:
+        """Chroma QP: table lookup of qp + pps.chroma_qp_index_offset
+        (spec 8.5.8 / Table 8-15). x264 emits a nonzero offset by default;
+        ignoring it mis-dequantizes chroma (caught by test_conformance)."""
+        off = self.pps.chroma_qp_index_offset if self.pps else 0
+        return int(CHROMA_QP_TABLE[np.clip(qp + off, 0, 51)])
+
     def _decode_slice(self, rbsp: bytes, nal_type: int, nal_ref_idc: int):
         """Decode one slice NAL; returns the finished DecodedFrame when the
         slice completes the picture, else None. Slices are contiguous MB-row
@@ -154,6 +161,7 @@ class ReferenceDecoder:
                 "luma_nnz": np.zeros((n_rows * 4, n_cols * 4), np.int32),
                 "chroma_nnz": np.zeros((2, n_rows * 2, n_cols * 2), np.int32),
                 "mv_grid": np.zeros((n_rows, n_cols, 2), np.int32),
+                "intra_mb": np.zeros((n_rows, n_cols), bool),
                 "qp_grid": np.full((n_rows, n_cols), qp, np.int32),
                 "qp_varies": False,
                 "covered": 0,
@@ -191,9 +199,19 @@ class ReferenceDecoder:
                     break
                 r, c = divmod(mb_idx, n_cols)
                 mb_type = br.ue()
-                if mb_type >= 5:  # intra MB in P slice
-                    self._decode_i16(br, y, u, v, r, c, mb_type - 5, qp,
-                                     luma_nnz, chroma_nnz, n_cols, r0)
+                if mb_type >= 5:  # intra MB in P slice (7.4.5: type - 5)
+                    asm["intra_mb"][r, c] = True
+                    if mb_type == 5:  # I_4x4 in P
+                        if "i4_modes" not in asm:
+                            asm["i4_modes"] = np.full(
+                                (n_rows * 4, n_cols * 4), -1, np.int32)
+                        self._decode_i4(br, y, u, v, r, c, qp_state[0],
+                                        luma_nnz, chroma_nnz, n_cols,
+                                        asm["i4_modes"], r0)
+                    else:
+                        self._decode_i16(br, y, u, v, r, c, mb_type - 5,
+                                         qp_state[0], luma_nnz, chroma_nnz,
+                                         n_cols, r0)
                 else:
                     self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
                                      mb_type, qp_state, luma_nnz, chroma_nnz,
@@ -226,9 +244,10 @@ class ReferenceDecoder:
             from .deblock import (
                 deblock_frame_np, inter_bs_grids_np, intra_bs_grids_np)
 
-            qp_c = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            qp_c = self._qpc(qp)
             if hdr.is_p:
-                bs_v, bs_h = inter_bs_grids_np(luma_nnz, asm["mv_grid"])
+                bs_v, bs_h = inter_bs_grids_np(luma_nnz, asm["mv_grid"],
+                                               intra_mb=asm["intra_mb"])
             else:
                 bs_v, bs_h = intra_bs_grids_np(n_rows, n_cols)
             if hdr.disable_deblocking_filter_idc == 2:
@@ -308,7 +327,7 @@ class ReferenceDecoder:
         self._recon_luma_i16(y, r, c, pred, dc_scan, ac, qp)
         for comp, plane in ((0, u), (1, v)):
             cpred = self._pred_chroma(plane, r, c, chroma_mode, r0)
-            qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            qpc = self._qpc(qp)
             self._recon_chroma(plane, r, c, cpred, cdc[comp], cac[comp], qpc)
 
     # ------------------------------------------------------------- intra 4x4
@@ -355,11 +374,13 @@ class ReferenceDecoder:
             for yy in range(4):
                 for xx in range(4):
                     if xx > yy:
-                        p[yy, xx] = (t[xx - yy - 2] + 2 * t[xx - yy - 1]
-                                     + t[xx - yy] + 2) >> 2
+                        # x-y == 1 reaches p[-1,-1]: index -1 is the corner q,
+                        # NOT Python wrap-around into t.
+                        a = q if xx - yy - 2 < 0 else t[xx - yy - 2]
+                        p[yy, xx] = (a + 2 * t[xx - yy - 1] + t[xx - yy] + 2) >> 2
                     elif xx < yy:
-                        p[yy, xx] = (l[yy - xx - 2] + 2 * l[yy - xx - 1]
-                                     + l[yy - xx] + 2) >> 2
+                        a = q if yy - xx - 2 < 0 else l[yy - xx - 2]
+                        p[yy, xx] = (a + 2 * l[yy - xx - 1] + l[yy - xx] + 2) >> 2
                     else:
                         p[yy, xx] = (t[0] + 2 * q + l[0] + 2) >> 2
         elif mode in (5, 6):  # Vertical-Right / Horizontal-Down
@@ -423,9 +444,14 @@ class ReferenceDecoder:
         for zi in range(16):
             bi = _ZSCAN[zi]
             gy, gx = r * 4 + bi // 4, c * 4 + bi % 4
-            ma = int(i4_modes[gy, gx - 1]) if gx > 0 else -1
-            mb = int(i4_modes[gy - 1, gx]) if gy > 4 * r0 else -1
-            pred = min(2 if ma < 0 else ma, 2 if mb < 0 else mb)
+            if gx <= 0 or gy <= 4 * r0:
+                # dcPredModePredictedFlag (8.3.1.1): any unavailable
+                # neighbor forces the DC prediction outright.
+                pred = 2
+            else:
+                ma = int(i4_modes[gy, gx - 1])
+                mb = int(i4_modes[gy - 1, gx])
+                pred = min(2 if ma < 0 else ma, 2 if mb < 0 else mb)
             if br.u(1):
                 m = pred
             else:
@@ -502,7 +528,7 @@ class ReferenceDecoder:
 
         for comp, plane in ((0, u), (1, v)):
             cpred = self._pred_chroma(plane, r, c, chroma_mode, r0)
-            qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+            qpc = self._qpc(qp)
             self._recon_chroma(plane, r, c, cpred, cdc[comp], cac[comp], qpc)
 
     @staticmethod
@@ -813,7 +839,7 @@ class ReferenceDecoder:
                 pred_y[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
             )
         # Chroma
-        qpc = int(CHROMA_QP_TABLE[np.clip(qp, 0, 51)])
+        qpc = self._qpc(qp)
         for comp, plane, cpred in ((0, u, pred_u), (1, v, pred_v)):
             dc_vals = _chroma_dc_decode(cdc[comp].reshape(2, 2), qpc)
             for bi in range(4):

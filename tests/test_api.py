@@ -238,6 +238,70 @@ class TestDecoderLifecycle:
         assert dec.retrieve_frame_data()[0] == DecoderRetCode.VIDEO_DECODER_SUCCESS
 
 
+class TestReferencePolicyConfig:
+    """create_video_encoder must build the reference's InitParamExt policy
+    (VideoEncoderOpenH264.cpp:239-291): RC_BITRATE_MODE CBR at the persist
+    bitrate, CABAC for profile >= main, deblocking on, full intra toolset."""
+
+    def test_factory_builds_reference_policy(self):
+        store = small_store()
+        store.set(P.KEY_PROFILE, "main")
+        store.set(P.KEY_BITRATE, 2_000_000)
+        enc = create_video_encoder(store)
+        assert enc.init_encoder() == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+        cfg = enc.session.cfg
+        assert cfg.rc_mode == "cbr"
+        assert cfg.bitrate == 2_000_000
+        assert cfg.cabac is True
+        assert cfg.deblock is True
+        assert cfg.i4x4 is True
+        assert cfg.gop_size == 30
+        assert cfg.framerate == 30
+
+    def test_baseline_profile_disables_cabac(self):
+        store = small_store()
+        store.set(P.KEY_PROFILE, "baseline")
+        enc = create_video_encoder(store)
+        enc.init_encoder()
+        assert enc.session.cfg.cabac is False
+        assert enc.session.cfg.rc_mode == "cbr"
+
+    def test_api_stream_hits_target_bitrate(self):
+        store = small_store(w=64, h=64)
+        store.set(P.KEY_PROFILE, "main")
+        store.set(P.KEY_BITRATE, 1_000_000)
+        enc = create_video_encoder(store)
+        enc.init_encoder()
+        enc.start_encoder()
+        total = 0
+        n = 10
+        for i in range(n):
+            code, data = enc.encode_one_frame(frame_bytes(64, 64, seed=i))
+            assert code == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+            total += len(data)
+        # CBR: the noise content must be held near 1 Mbps / 30 fps per
+        # frame (wide tolerance: short run incl. the IDR).
+        per_frame_bits = total * 8 / n
+        assert per_frame_bits < 4 * 1_000_000 / 30
+
+    def test_multichip_placement_via_pool(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device backend")
+        from media_tpu.parallel.sharding import ShardedEncoderSession, get_pool
+
+        store = small_store(w=64, h=16 * len(jax.devices()))
+        store.set(P.KEY_MULTICHIP, "1")
+        enc = create_video_encoder(store)
+        assert enc.init_encoder() == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+        assert isinstance(enc.session, ShardedEncoderSession)
+        pool = get_pool()
+        assert any(v > 0 for v in pool.loads())
+        enc.destroy_encoder()
+        assert all(v == 0 for v in pool.loads())
+
+
 def test_ret_code_values_match_reference():
     """Value-exact with the reference headers: VideoCodecApi.h:8-20 and
     VideoDecoder.h:10-26."""

@@ -1,4 +1,4 @@
-"""Round-3 CABAC features: fitted init tables (cabac_init_idc), the C++
+"""CABAC features: normative init tables (cabac_init_idc), the C++
 CABAC packer (byte-equal to the Python coder), I_4x4 CABAC slices, and the
 reference operating point (CABAC + CBR + deblock + I_4x4) as one runnable
 config (VideoEncoderOpenH264.cpp:239-291 semantics)."""
@@ -29,12 +29,15 @@ def random_psymbols(R, C, seed):
 
 
 def test_init_tables_structure():
-    """Fitted tables: correct shapes, distinct per idc, and every derived
+    """Spec tables: correct shapes, distinct per idc, and every derived
     preCtxState within the normative clip bounds for all QPs."""
     assert cit.INIT_MN_I.shape == (cit.NUM_CTX, 2)
     assert cit.INIT_MN_P.shape == (3, cit.NUM_CTX, 2)
-    assert cit.FITTED, "run tools/fit_cabac_init.py"
-    # The three P tables are genuinely distinct (fit per content class).
+    assert not cit.FITTED, "the codec must ship the normative tables"
+    # Spot-check normative values (Table 9-12 ctxIdx 0..2 / 70).
+    assert tuple(cit.INIT_MN_I[0]) == (20, -15)
+    assert tuple(cit.INIT_MN_I[2]) == (3, 74)
+    # The three P tables are genuinely distinct (per-idc spec data).
     assert not (cit.INIT_MN_P[0] == cit.INIT_MN_P[1]).all()
     assert not (cit.INIT_MN_P[1] == cit.INIT_MN_P[2]).all()
     for qp in (0, 10, 26, 40, 51):

@@ -18,7 +18,9 @@ I slices get one table (fit pooled over classes — the spec has a single I
 table); P slices get one table per class, selected by cabac_init_idc.
 Contexts with too few observations keep the uniform (0, 64) init.
 
-Writes media_tpu/entropy/cabac_init_tables.py.
+Writes media_tpu/entropy/cabac_init_fitted.py (an RD-experiment artifact;
+the CODEC ships the normative spec tables in cabac_init_tables.py — do NOT
+overwrite them: they are third-party-validated).
 """
 
 import os
@@ -152,11 +154,16 @@ def main():
     tbls_p = [fit_table({qp: st[qp][1] for qp in QPS}) for st in per_class]
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "media_tpu/entropy/cabac_init_tables.py")
-    with open(path) as f:
-        head = f.read().split("# --- fitted data")[0].rstrip()
-        # keep the docstring/header; regenerate the data section
-        head = head[: head.index("NUM_CTX = 460") + len("NUM_CTX = 460")]
+        os.path.abspath(__file__))), "media_tpu/entropy/cabac_init_fitted.py")
+    try:
+        with open(path) as f:
+            head = f.read().split("# --- fitted data")[0].rstrip()
+            # keep the docstring/header; regenerate the data section
+            head = head[: head.index("NUM_CTX = 460") + len("NUM_CTX = 460")]
+    except FileNotFoundError:
+        head = ('"""Fitted CABAC init tables (RD experiment artifact; the codec\n'
+                'ships the normative tables in cabac_init_tables.py)."""\n\n'
+                "import numpy as np\n\nNUM_CTX = 460")
 
     def fmt(a):
         rows = ", ".join(f"({int(m)},{int(n)})" for m, n in a)

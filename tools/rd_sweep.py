@@ -139,14 +139,23 @@ def main():
         "config": "deblock=True i4x4=True (CAVLC/CABAC toggled)",
         "curves": curves,
         "cabac_saving_vs_cavlc": round(cabac_saving, 4),
-        "fitted_init_saving_first_slice": round(init_benefit, 4),
+        "init_table_saving_first_slice": round(init_benefit, 4),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "RD.json")
+    # Read-merge-write: bench.py owns other keys of the same artifact
+    # (its bench_1080p curve) — don't drop them.
+    doc = {}
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except Exception:
+        pass
+    doc.update(out)
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(doc, f, indent=1)
     print(f"cabac saving {cabac_saving:.3%}, "
-          f"fitted-init first-slice saving {init_benefit:.3%}")
+          f"init-table first-slice saving {init_benefit:.3%}")
     print("wrote", path)
 
 

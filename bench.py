@@ -33,7 +33,20 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/media_tpu_jax_cache")
+def _machine_cache_dir(base="/tmp/media_tpu_jax_cache"):
+    # Per-machine cache: stale AOT entries from another host type can
+    # SIGSEGV at load (see tests/conftest.py).
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return f"{base}_{hashlib.md5(flags.encode()).hexdigest()[:8]}"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _machine_cache_dir())
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
@@ -148,20 +161,66 @@ def main():
             width=w, height=h, qp=qp, gop_size=300, rc_mode="cbr",
             bitrate=8_000_000, framerate=30, deblock=True, cabac=True,
             i4x4=True, cabac_init_idc=1))
-        # Warm: IDR + one batched P chunk (compiles the CBR-symbols scan).
+        # Warm: IDR + one batched P chunk (compiles the CBR scan), then the
+        # same HBM-staged methodology as the headline: input resident before
+        # the timed loop, C++ CAVLC->CABAC transcode overlapping compute.
         ops.encode_frame(yuv.pack_i420(*frames[0]))
         ops.encode_frames(
             [yuv.pack_i420(*f) for f in frames[1 : 1 + ops.PIPELINE_CHUNK]])
-        n_ops = min(8, n)
+        # Whole chunks only: a tail chunk of a new size would compile
+        # inside the timed loop.
+        ch = ops.PIPELINE_CHUNK
+        n_ops = max((min(12, n) // ch) * ch, ch)
         bufs_ops = [yuv.pack_i420(*f)
-                    for f in frames[1 + ops.PIPELINE_CHUNK :
-                                    1 + ops.PIPELINE_CHUNK + n_ops]]
+                    for f in frames[1 + ch : 1 + ch + n_ops]]
+        chunks_ops = ops.upload_frames(bufs_ops)
         t0 = time.perf_counter()
-        ops_aus = ops.encode_frames(bufs_ops)
+        ops_aus = ops.encode_frames_staged(chunks_ops)
         ops_fps = n_ops / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# ops-point bench skipped: {e}", flush=True)
         ops_fps = None
+
+    # Decode throughput (BASELINE configs[3]): the headline CAVLC stream
+    # back through the TPU decode path (C++ entropy parse + device
+    # IQ/IDCT/MC/deblock), and the CABAC ops stream (host Python CABAC
+    # parse — the known-slow remaining piece, reported honestly).
+    dec_fps = dec_cabac_fps = None
+    try:
+        from media_tpu.pipeline.decoder_tpu import TpuDecoder
+
+        sess.force_keyframe()
+        idr0 = sess.encode_frame(yuv.pack_i420(*frames[0]))
+        dec_stream = [idr0] + list(aus)
+        d = TpuDecoder()
+        for au in dec_stream[:2]:
+            d.decode_annexb(au)  # compile both paths
+        t0 = time.perf_counter()
+        got = 0
+        for au in dec_stream[2:]:
+            got += len(d.decode_annexb(au))
+        if got:
+            dec_fps = got / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# decode bench skipped: {e}", flush=True)
+    try:
+        if ops_fps:
+            # CABAC decode on a short run (host entropy parse dominates).
+            d2 = TpuDecoder()
+            # ops session stream starts mid-GOP; decode needs its IDR: rebuild
+            # a tiny standalone CABAC clip instead.
+            cs = EncoderSession(EncoderConfig(
+                width=w, height=h, qp=qp, gop_size=300, deblock=True,
+                cabac=True))
+            caus = [cs.encode_frame(yuv.pack_i420(*frames[i]))
+                    for i in range(3)]
+            d2.decode_annexb(caus[0])
+            d2.decode_annexb(caus[1])
+            t0 = time.perf_counter()
+            d2.decode_annexb(caus[2])
+            dec_cabac_fps = 1.0 / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# cabac decode bench skipped: {e}", flush=True)
 
     print(
         json.dumps(
@@ -174,6 +233,9 @@ def main():
                 "ref_operating_point_fps": (round(ops_fps, 3)
                                             if ops_fps else None),
                 "tunnel_fed_fps": round(tunnel_fps, 3),
+                "decode_fps_cavlc": (round(dec_fps, 3) if dec_fps else None),
+                "decode_fps_cabac": (round(dec_cabac_fps, 3)
+                                     if dec_cabac_fps else None),
             }
         ),
         flush=True,

@@ -309,4 +309,159 @@ MtpuDecoderRetCode RetrieveFrameData(MtpuVideoDecoder* dec, uint8_t* dst,
   return VIDEO_DECODER_SUCCESS;
 }
 
+MtpuDecoderRetCode ResetDecoder(MtpuVideoDecoder* dec) {
+  return dec_simple(dec, "reset_decoder", VIDEO_DECODER_RESET_FAIL);
+}
+
+MtpuDecoderRetCode GetDecodeParams(MtpuVideoDecoder* dec, uint32_t* width,
+                                   uint32_t* height, uint32_t* pixel_format,
+                                   uint32_t* codec_format) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  PyRef r(PyObject_CallMethod(dec->decoder, "get_decode_params", nullptr));
+  if (!r.p || !PyDict_Check(r.p)) {
+    PyErr_Print();
+    return VIDEO_DECODER_GET_DECODE_PARAMS_FAIL;
+  }
+  auto get = [&](const char* k, uint32_t* out) {
+    PyObject* v = PyDict_GetItemString(r.p, k);
+    if (v && out) *out = static_cast<uint32_t>(PyLong_AsLong(v));
+  };
+  get("width", width);
+  get("height", height);
+  get("pixel_format", pixel_format);
+  get("codec_format", codec_format);
+  return VIDEO_DECODER_SUCCESS;
+}
+
+// ---- callback trampolines: Python callable -> registered C function ----
+
+namespace {
+
+struct EventCbCtx {
+  MtpuDecoderEventCallback fn;
+  void* user;
+};
+
+void cbctx_capsule_free(PyObject* cap) {
+  delete static_cast<EventCbCtx*>(PyCapsule_GetPointer(cap, "mtpu.eventcb"));
+}
+
+PyObject* event_trampoline(PyObject* self, PyObject* args) {
+  auto* ctx =
+      static_cast<EventCbCtx*>(PyCapsule_GetPointer(self, "mtpu.eventcb"));
+  unsigned int ev = 0;
+  PyObject* info = nullptr;
+  if (!PyArg_ParseTuple(args, "IO", &ev, &info)) return nullptr;
+  MtpuPicInfo pi = {0, 0};
+  if (PyDict_Check(info)) {
+    PyObject* w = PyDict_GetItemString(info, "width");
+    PyObject* h = PyDict_GetItemString(info, "height");
+    if (w) pi.width = static_cast<uint32_t>(PyLong_AsLong(w));
+    if (h) pi.height = static_cast<uint32_t>(PyLong_AsLong(h));
+  }
+  if (ctx && ctx->fn) ctx->fn(ev, &pi, ctx->user);
+  Py_RETURN_NONE;
+}
+
+PyMethodDef g_event_trampoline_def = {"_mtpu_event_cb", event_trampoline,
+                                      METH_VARARGS, nullptr};
+
+struct CopyCbCtx {
+  MtpuCopyFrameFunc fn;
+  void* user;
+};
+
+void copyctx_capsule_free(PyObject* cap) {
+  delete static_cast<CopyCbCtx*>(PyCapsule_GetPointer(cap, "mtpu.copycb"));
+}
+
+PyObject* copy_trampoline(PyObject* self, PyObject* args) {
+  auto* ctx =
+      static_cast<CopyCbCtx*>(PyCapsule_GetPointer(self, "mtpu.copycb"));
+  PyObject* planes = nullptr;
+  PyObject* info = nullptr;
+  if (!PyArg_ParseTuple(args, "OO", &planes, &info)) return nullptr;
+  MtpuPicInfo pi = {0, 0};
+  if (PyDict_Check(info)) {
+    PyObject* w = PyDict_GetItemString(info, "width");
+    PyObject* h = PyDict_GetItemString(info, "height");
+    if (w) pi.width = static_cast<uint32_t>(PyLong_AsLong(w));
+    if (h) pi.height = static_cast<uint32_t>(PyLong_AsLong(h));
+  }
+  // Planes -> contiguous I420 bytes (numpy arrays expose tobytes()).
+  std::string src;
+  if (PyTuple_Check(planes)) {
+    for (Py_ssize_t i = 0; i < PyTuple_Size(planes); i++) {
+      PyRef b(PyObject_CallMethod(PyTuple_GetItem(planes, i), "tobytes",
+                                  nullptr));
+      if (!b.p) return nullptr;
+      char* raw = nullptr;
+      Py_ssize_t bn = 0;
+      if (PyBytes_AsStringAndSize(b.p, &raw, &bn) != 0) return nullptr;
+      src.append(raw, static_cast<size_t>(bn));
+    }
+  }
+  int64_t written = -1;
+  if (ctx && ctx->fn) {
+    std::string dst(src.size() * 2 + 64, '\0');
+    written = ctx->fn(reinterpret_cast<const uint8_t*>(src.data()),
+                      static_cast<uint32_t>(src.size()),
+                      reinterpret_cast<uint8_t*>(&dst[0]),
+                      static_cast<uint32_t>(dst.size()), &pi, ctx->user);
+    if (written >= 0)
+      return PyBytes_FromStringAndSize(dst.data(),
+                                       static_cast<Py_ssize_t>(written));
+  }
+  // Hook declined: fall back to the plain payload.
+  return PyBytes_FromStringAndSize(src.data(),
+                                   static_cast<Py_ssize_t>(src.size()));
+}
+
+PyMethodDef g_copy_trampoline_def = {"_mtpu_copy_cb", copy_trampoline,
+                                     METH_VARARGS, nullptr};
+
+}  // namespace
+
+MtpuDecoderRetCode SetDecoderCallbacks(MtpuVideoDecoder* dec,
+                                       MtpuDecoderEventCallback cb,
+                                       void* user) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  auto* ctx = new EventCbCtx{cb, user};
+  PyRef cap(PyCapsule_New(ctx, "mtpu.eventcb", cbctx_capsule_free));
+  if (!cap.p) {
+    delete ctx;
+    return VIDEO_DECODER_SET_FUNC_FAIL;
+  }
+  PyRef fn(PyCFunction_New(&g_event_trampoline_def, cap.p));
+  if (!fn.p) return VIDEO_DECODER_SET_FUNC_FAIL;
+  PyRef r(PyObject_CallMethod(dec->decoder, "set_callbacks", "O", fn.p));
+  if (!r.p) {
+    PyErr_Print();
+    return VIDEO_DECODER_SET_FUNC_FAIL;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
+MtpuDecoderRetCode SetCopyFrameFunc(MtpuVideoDecoder* dec,
+                                    MtpuCopyFrameFunc fn_c, void* user) {
+  if (!dec) return VIDEO_DECODER_NOT_INITED;
+  Gil gil;
+  auto* ctx = new CopyCbCtx{fn_c, user};
+  PyRef cap(PyCapsule_New(ctx, "mtpu.copycb", copyctx_capsule_free));
+  if (!cap.p) {
+    delete ctx;
+    return VIDEO_DECODER_SET_FUNC_FAIL;
+  }
+  PyRef fn(PyCFunction_New(&g_copy_trampoline_def, cap.p));
+  if (!fn.p) return VIDEO_DECODER_SET_FUNC_FAIL;
+  PyRef r(PyObject_CallMethod(dec->decoder, "set_copy_frame_func", "O", fn.p));
+  if (!r.p) {
+    PyErr_Print();
+    return VIDEO_DECODER_SET_FUNC_FAIL;
+  }
+  return static_cast<MtpuDecoderRetCode>(PyLong_AsLong(r.p));
+}
+
 }  // extern "C"

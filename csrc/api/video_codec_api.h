@@ -109,6 +109,37 @@ MtpuDecoderRetCode RetrieveFrameData(MtpuVideoDecoder* dec, uint8_t* dst,
                                      uint32_t* width, uint32_t* height);
 MtpuDecoderRetCode FlushDecoder(MtpuVideoDecoder* dec);
 MtpuDecoderRetCode StopDecoder(MtpuVideoDecoder* dec);
+/* Stop + fresh decode engine + start (decoder twin of ResetEncoder). */
+MtpuDecoderRetCode ResetDecoder(MtpuVideoDecoder* dec);
+
+/* Current session parameters (reference GetDecodeParams). */
+MtpuDecoderRetCode GetDecodeParams(MtpuVideoDecoder* dec, uint32_t* width,
+                                   uint32_t* height, uint32_t* pixel_format,
+                                   uint32_t* codec_format);
+
+/* Decoder events (value-exact with VideoDecoder.h DecodeEventIndex). */
+typedef struct {
+  uint32_t width;
+  uint32_t height;
+} MtpuPicInfo;
+
+/* Event callback (reference SetCallbacks, VideoDecoder.h:121-143):
+ * event = 1 (PIC_INFO_CHANGE) carries the new geometry in *info. `user`
+ * round-trips the registration context. */
+typedef void (*MtpuDecoderEventCallback)(uint32_t event,
+                                         const MtpuPicInfo* info, void* user);
+MtpuDecoderRetCode SetDecoderCallbacks(MtpuVideoDecoder* dec,
+                                       MtpuDecoderEventCallback cb,
+                                       void* user);
+
+/* Injected output-copy hook (reference SetCopyFrameFunc / m_copyFrame):
+ * called with the decoded I420 payload; returns bytes written into dst, or
+ * < 0 to fall back to the plain copy. */
+typedef int64_t (*MtpuCopyFrameFunc)(const uint8_t* src, uint32_t src_len,
+                                     uint8_t* dst, uint32_t dst_cap,
+                                     const MtpuPicInfo* info, void* user);
+MtpuDecoderRetCode SetCopyFrameFunc(MtpuVideoDecoder* dec,
+                                    MtpuCopyFrameFunc fn, void* user);
 
 #ifdef __cplusplus
 }

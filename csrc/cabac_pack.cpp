@@ -61,16 +61,32 @@ struct Enc {
   int range = 510;
   int bits_outstanding = 0;
   bool first_bit = true;
-  std::vector<uint8_t> bits;  // one bit per entry (simple + exact mirror)
+  // Packed bit sink (same emitted bits as the Python mirror's list-of-bits;
+  // only the container differs): bits accumulate MSB-first in `acc`.
+  std::vector<uint8_t> bytes;
+  uint32_t acc = 0;
+  int acc_n = 0;
+  int64_t nbits = 0;
+
+  inline void push_bit(uint32_t b) {
+    acc = (acc << 1) | b;
+    if (++acc_n == 8) {
+      bytes.push_back((uint8_t)acc);
+      acc = 0;
+      acc_n = 0;
+    }
+    nbits++;
+  }
 
   void put_bit(int b) {
     if (first_bit) {
       first_bit = false;
     } else {
-      bits.push_back((uint8_t)b);
+      push_bit((uint32_t)b);
     }
+    uint32_t inv = (uint32_t)(1 - b);
     while (bits_outstanding > 0) {
-      bits.push_back((uint8_t)(1 - b));
+      push_bit(inv);
       bits_outstanding--;
     }
   }
@@ -125,19 +141,18 @@ struct Enc {
       range = 2;
       renorm();
       put_bit((low >> 9) & 1);
-      bits.push_back((uint8_t)((low >> 8) & 1));
-      bits.push_back(1);  // rbsp stop bit
+      push_bit((low >> 8) & 1);
+      push_bit(1);  // rbsp stop bit
     } else {
       renorm();
     }
   }
   int64_t get_bytes(uint8_t* out, int64_t cap) const {
-    int64_t n = (int64_t)bits.size();
-    int64_t nbytes = (n + 7) / 8;
+    int64_t nbytes = (nbits + 7) / 8;
     if (nbytes > cap) return -1;
-    std::memset(out, 0, (size_t)nbytes);
-    for (int64_t i = 0; i < n; i++)
-      if (bits[i]) out[i >> 3] |= (uint8_t)(0x80u >> (i & 7));
+    std::memcpy(out, bytes.data(), bytes.size());
+    if (acc_n)  // final partial byte, left-aligned
+      out[bytes.size()] = (uint8_t)(acc << (8 - acc_n));
     return nbytes;
   }
 };

@@ -119,6 +119,23 @@ class VideoDecoder:
         self._inited = True
         return DecoderRetCode.VIDEO_DECODER_SUCCESS
 
+    def reset_decoder(self) -> DecoderRetCode:
+        """Stop + fresh decode engine + start, keeping the configured format
+        and geometry (the decoder twin of the encoder's ResetEncoder =
+        destroy+init+start policy; stream state and queued frames drop)."""
+        if not self._created:
+            return DecoderRetCode.VIDEO_DECODER_NOT_INITED
+        self._started = False
+        self._decoder = self._make_decoder()
+        self._frames.clear()
+        self._leftover = b""
+        self._eos_pending = False
+        self._eos_delivered = False
+        self._saved_headers = b""
+        self._inited = True
+        self._started = True
+        return DecoderRetCode.VIDEO_DECODER_SUCCESS
+
     def set_decode_params(self, *, width: int | None = None,
                           height: int | None = None,
                           pixel_format: int | None = None) -> DecoderRetCode:

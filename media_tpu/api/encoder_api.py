@@ -44,6 +44,56 @@ class _HevcSessionAdapter:
         return self._s.encode_frame(y, u, v)
 
 
+class _EncoderStats:
+    """Per-session counters behind get_encoder_statistics (the
+    SEncoderStatistics analog, codec_app_def.h:735-760)."""
+
+    def __init__(self):
+        import time
+
+        self.frames = 0
+        self.bytes_out = 0
+        self.qp_sum = 0.0
+        self.speed_sum_s = 0.0
+        self.idr_reqs = 0
+        self.t_start = time.monotonic()
+        self.t_last = self.t_start
+        self.latest_dt = 0.0
+
+    def on_frame(self, nbytes: int, speed_s: float, qp: float) -> None:
+        import time
+
+        now = time.monotonic()
+        self.latest_dt = now - self.t_last
+        self.t_last = now
+        self.frames += 1
+        self.bytes_out += nbytes
+        self.qp_sum += qp
+        self.speed_sum_s += speed_s
+
+    def avg_speed_ms(self) -> float:
+        return round(self.speed_sum_s / self.frames * 1000, 3) if self.frames else 0.0
+
+    def avg_fps(self) -> float:
+        dt = self.t_last - self.t_start
+        return round(self.frames / dt, 3) if dt > 0 and self.frames > 1 else 0.0
+
+    def latest_fps(self) -> float:
+        return round(1.0 / self.latest_dt, 3) if self.latest_dt > 0 else 0.0
+
+    def avg_qp(self) -> float:
+        return round(self.qp_sum / self.frames, 2) if self.frames else 0.0
+
+    def bitrate_bps(self) -> int:
+        dt = self.t_last - self.t_start
+        return int(self.bytes_out * 8 / dt) if dt > 0 and self.frames > 1 else 0
+
+    def ts(self) -> float:
+        import time
+
+        return time.monotonic()
+
+
 class VideoEncoder:
     """TPU-backed H.264 encoder behind the reference lifecycle contract."""
 
@@ -55,6 +105,7 @@ class VideoEncoder:
         self._params: P.EncodeParams | None = None
         self._started = False
         self._last_output: bytes = b""
+        self._stats = _EncoderStats()
 
     # ------------------------------------------------------------- lifecycle
 
@@ -155,13 +206,20 @@ class VideoEncoder:
         if self._store.get_str(P.KEY_FORCE_KEYFRAME) == "1":
             self._store.set(P.KEY_FORCE_KEYFRAME, "0")
             self._session.force_keyframe()
+            self._stats.idr_reqs += 1
             log.info("forced keyframe")
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         try:
             self._last_output = self._session.encode_frame(data)
         except Exception as e:  # encode must not propagate, per the C contract
             log.err("encode failed: %s", e)
             return EncoderRetCode.VIDEO_ENCODER_ENCODE_FAIL, b""
+        self._stats.on_frame(len(self._last_output),
+                             _time.perf_counter() - t0,
+                             self._current_qp())
         return EncoderRetCode.VIDEO_ENCODER_SUCCESS, self._last_output
 
     def stop_encoder(self) -> EncoderRetCode:
@@ -204,6 +262,39 @@ class VideoEncoder:
             self._params = new
             return self.reset_encoder()
         return EncoderRetCode.VIDEO_ENCODER_SUCCESS
+
+    def _current_qp(self) -> float:
+        s = self._session
+        if s is None:
+            return 0.0
+        rc = getattr(s, "rc_state", None) or getattr(
+            getattr(s, "base", None), "rc_state", None)
+        if rc and getattr(s, "cfg", None) is not None and s.cfg.rc_mode == "cbr":
+            return float(rc["qp"])
+        cfg = getattr(s, "cfg", None)
+        return float(cfg.qp) if cfg is not None else 0.0
+
+    def get_encoder_statistics(self) -> dict:
+        """Queryable counters, the SEncoderStatistics analog
+        (vendor/openh264/codec_app_def.h:735-760): geometry, frame/byte
+        counts, average/latest frame rate and encode speed, average QP,
+        forced-IDR requests. The reference exposes this struct but never
+        surfaces it through the adapter; here it is a first-class API."""
+        p = self._params
+        st = self._stats
+        return {
+            "width": p.width if p else 0,
+            "height": p.height if p else 0,
+            "input_frame_count": st.frames,
+            "encoded_bytes": st.bytes_out,
+            "bitrate_bps": st.bitrate_bps(),
+            "average_frame_speed_ms": st.avg_speed_ms(),
+            "average_frame_rate": st.avg_fps(),
+            "latest_frame_rate": st.latest_fps(),
+            "average_frame_qp": st.avg_qp(),
+            "idr_req_num": st.idr_reqs,
+            "statistics_ts": st.ts(),
+        }
 
     @property
     def session(self) -> EncoderSession | None:

@@ -37,8 +37,13 @@ class ContextModels:
     """Per-slice adaptive contexts: pStateIdx and valMPS arrays."""
 
     def __init__(self, qp: int, cabac_init_idc: int = 0,
-                 slice_type: str = "I"):
-        tbl = (INIT_MN_I if slice_type == "I"
+                 slice_type: str = "I", table=None):
+        """table: explicit (NUM_CTX, 2) (m, n) override — used by codecs
+        that reuse this engine with their own init data (e.g. the HEVC
+        skeleton passes a uniform table so its streams do not silently
+        depend on the H.264 constants)."""
+        tbl = (table if table is not None
+               else INIT_MN_I if slice_type == "I"
                else INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
         m = tbl[:, 0]
         n = tbl[:, 1]

@@ -34,6 +34,15 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..entropy.cabac_contexts import ContextModels
+import numpy as _np
+
+# HEVC context init: a uniform table (pStateIdx 0, MPS 0 at every
+# qp) — explicitly NOT the H.264 Table 9-12 constants, so HEVC
+# bitstreams cannot silently change when the H.264 tables do
+# (both coder and oracle pass this same table).
+from ..entropy.cabac_init_tables import NUM_CTX as _NUM_CTX
+UNIFORM_INIT = _np.zeros((_NUM_CTX, 2), _np.int32)
+UNIFORM_INIT[:, 1] = 64
 from ..entropy.cabac_engine import CabacDecoder, CabacEncoder
 from ..core.bitstream import BitReader, BitWriter
 from . import syntax as S
@@ -428,7 +437,7 @@ def encode_slice_data(orig_y, orig_u, orig_v, qp: int):
     """Encode all CTUs; returns (payload bytes, recon (y, u, v) int64)."""
     h, w = orig_y.shape
     st = _CtuCoder(w, h, qp)
-    ctx = ContextModels(qp)
+    ctx = ContextModels(qp, table=UNIFORM_INIT)
     enc = CabacEncoder()
     oy = orig_y.astype(np.int64)
     ou = orig_u.astype(np.int64)
@@ -525,7 +534,7 @@ def decode_slice_data(data: bytes, bitpos: int, w_pad: int, h_pad: int,
                       qp: int):
     """Mirror of encode_slice_data. Returns (y, u, v) int64 planes."""
     st = _CtuCoder(w_pad, h_pad, qp)
-    ctx = ContextModels(qp)
+    ctx = ContextModels(qp, table=UNIFORM_INIT)
     dec = CabacDecoder(data, bitpos)
 
     for r in range(st.Rc):

@@ -17,6 +17,15 @@ import numpy as np
 
 from ..core.bitstream import BitReader
 from ..entropy.cabac_contexts import ContextModels
+import numpy as _np
+
+# HEVC context init: a uniform table (pStateIdx 0, MPS 0 at every
+# qp) — explicitly NOT the H.264 Table 9-12 constants, so HEVC
+# bitstreams cannot silently change when the H.264 tables do
+# (both coder and oracle pass this same table).
+from ..entropy.cabac_init_tables import NUM_CTX as _NUM_CTX
+UNIFORM_INIT = _np.zeros((_NUM_CTX, 2), _np.int32)
+UNIFORM_INIT[:, 1] = 64
 from ..entropy.cabac_engine import CabacDecoder
 from . import syntax as S
 from .codec import (CTX_CBF_CHROMA, CTX_CBF_CHROMA_ROOT, CTX_CBF_LUMA,
@@ -230,7 +239,7 @@ class HevcOracleDecoder:
         my = np.zeros((h, w), bool)
         mc = np.zeros((h // 2, w // 2), bool)
         modes = np.full((h // 16, w // 16), -1, np.int32)
-        ctx = ContextModels(qp)
+        ctx = ContextModels(qp, table=UNIFORM_INIT)
         dec = CabacDecoder(rbsp, bitpos)
 
         for r in range(h // 16):

@@ -27,7 +27,8 @@ _TRIED = False
 def _build_lib() -> str | None:
     """Compile (if needed) and return the .so path, or None on failure."""
     srcs = [os.path.join(_CSRC, "cavlc_pack.cpp"),
-            os.path.join(_CSRC, "cabac_pack.cpp")]
+            os.path.join(_CSRC, "cabac_pack.cpp"),
+            os.path.join(_CSRC, "cavlc_parse.cpp")]
     gen = os.path.join(_CSRC, "gen_tables.py")
     inc = os.path.join(_CSRC, "cavlc_tables.inc")
     srcs = [s_ for s_ in srcs if os.path.exists(s_)]
@@ -102,6 +103,19 @@ def _load():
         ]
         lib.mtpu_escape_rbsp.restype = ctypes.c_int64
         lib.mtpu_escape_rbsp.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        if hasattr(lib, "mtpu_parse_slice_p"):
+            lib.mtpu_parse_slice_p.restype = ctypes.c_int64
+            lib.mtpu_parse_slice_p.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, i32p, i32p,
+            ]
+            lib.mtpu_transcode_pslice.restype = ctypes.c_int64
+            lib.mtpu_transcode_pslice.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, u8p, ctypes.c_int64,
+            ]
         if hasattr(lib, "mtpu_cabac_write_slice_p"):
             lib.mtpu_cabac_write_slice_p.restype = ctypes.c_int64
             lib.mtpu_cabac_write_slice_p.argtypes = [
@@ -293,6 +307,60 @@ def cabac_write_islice_native(mode16, chroma_mode, dc, ac, cdc, cac,
     init, init_p = _i32(INIT_MN_I)
     n = lib.mtpu_cabac_write_slice_i(
         *ptrs, R, C, int(qp), init_p,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def parse_pslice_native(data: bytes, nbits: int, bitpos: int,
+                        R: int, C: int, slice_qp: int):
+    """Parse a CAVLC P slice's slice_data via the C++ parser.
+
+    Returns {"mv", "luma_levels", "cdc_levels", "cac_levels", "qp_map",
+    "covered"} or None when the native library is unavailable or the slice
+    uses tools beyond the P_L0_16x16 envelope (caller falls back to the
+    Python parser)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_parse_slice_p"):
+        return None
+    mv = np.zeros((R, C, 2), np.int32)
+    luma = np.zeros((R, C, 16, 16), np.int32)
+    cdc = np.zeros((R, C, 2, 4), np.int32)
+    cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    qp_map = np.zeros((R, C), np.int32)
+    src = np.frombuffer(data, np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.mtpu_parse_slice_p(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbits, bitpos,
+        R, C, int(slice_qp),
+        mv.ctypes.data_as(i32), luma.ctypes.data_as(i32),
+        cdc.ctypes.data_as(i32), cac.ctypes.data_as(i32),
+        qp_map.ctypes.data_as(i32))
+    if n < 0:
+        return None
+    return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
+            "cac_levels": cac, "qp_map": qp_map, "covered": int(n)}
+
+
+def transcode_pslice_native(data: bytes, nbits: int, bitpos: int,
+                            R: int, C: int, qp: int,
+                            cabac_init_idc: int = 0) -> bytes | None:
+    """CAVLC -> CABAC transcode of one P slice's slice_data (C++): parse
+    the device CAVLC pack and re-emit the slice as a CABAC payload. None ->
+    caller falls back (library unavailable / envelope exceeded)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_transcode_pslice"):
+        return None
+    from ..entropy.cabac_init_tables import INIT_MN_P
+
+    init, init_p = _i32(INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
+    src = np.frombuffer(data, np.uint8)
+    cap = R * C * 4096 + 65536
+    out = np.empty(cap, np.uint8)
+    n = lib.mtpu_transcode_pslice(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nbits, bitpos,
+        R, C, int(qp), init_p,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         return None

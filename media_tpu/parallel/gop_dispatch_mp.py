@@ -1,0 +1,201 @@
+"""Multi-PROCESS GOP dispatch: the cross-host embodiment of gop_dispatch.py.
+
+The thread dispatcher proves GOP independence inside one process; this
+module runs the same scheduling across OS processes with distinct JAX
+runtimes — the shape of a real multi-host fleet (one process per host,
+`jax.distributed` coordination, no shared interpreter):
+
+  * worker processes are spawned (not forked: each owns a fresh JAX),
+  * each initializes `jax.distributed` against a shared coordinator when
+    requested — the DCN control plane of a real deployment (process 0 is
+    the coordinator, reference analog: the host-wide shared-memory resource
+    pool, vendor/netint/ni_rsrc_api.h:92-96),
+  * all workers share one persistent compilation cache directory, and the
+    parent PRE-WARMS it with a single throwaway GOP before spawning — the
+    fix for the round-3 finding that each worker paid the full first-GOP
+    compile (GOP_DISPATCH.json's 217 s second-worker tax),
+  * GOPs are claimed from a shared queue (least-load by arrival), encoded
+    with a per-process EncoderSession, stitched in presentation order with
+    idr_pic_id seeded by GOP index (spec 7.4.3),
+  * the result is byte-identical to a sequential session (tests), and the
+    report carries warm per-GOP walls so scaling efficiency is measured on
+    compute, not compile.
+
+Used by tools/gop_dispatch_mp_bench.py (writes GOP_DISPATCH_MP.json).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class MpGopStats:
+    gop_index: int
+    n_frames: int
+    worker: int
+    compute_s: float
+    bytes_out: int
+
+
+@dataclass
+class MpDispatchReport:
+    wall_s: float
+    warm_wall_s: float
+    prewarm_s: float
+    n_procs: int
+    distributed: bool
+    gops: list = field(default_factory=list)
+
+    @property
+    def compute_s_total(self) -> float:
+        return sum(g.compute_s for g in self.gops)
+
+    @property
+    def scaling_efficiency(self) -> float:
+        """Warm compute spread over workers vs measured warm wall."""
+        if not self.gops or self.warm_wall_s <= 0:
+            return 0.0
+        ideal = self.compute_s_total / self.n_procs
+        return ideal / self.warm_wall_s
+
+
+def _worker_main(widx: int, n_procs: int, coord: str | None,
+                 cfg_kwargs: dict, gop_queue, result_queue, cache_dir: str):
+    # Fresh JAX per process, CPU platform, shared compilation cache.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    distributed = False
+    if coord is not None:
+        try:
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=n_procs,
+                                       process_id=widx)
+            distributed = True
+        except Exception as e:  # run degrades to uncoordinated processes
+            result_queue.put(("log", widx, f"jax.distributed init failed: {e}"))
+
+    from ..pipeline.codec import EncoderConfig, EncoderSession
+
+    session = EncoderSession(EncoderConfig(**cfg_kwargs))
+    result_queue.put(("ready", widx, distributed))
+    while True:
+        item = gop_queue.get()
+        if item is None:
+            break
+        g, frames = item
+        session.idr_pic_id = g & 0xFFFF
+        session.recon = None
+        session.frame_idx = 0
+        t0 = time.perf_counter()
+        aus = session.encode_frames(frames)
+        dt = time.perf_counter() - t0
+        result_queue.put(("gop", widx, g, aus, dt))
+    result_queue.put(("done", widx, None))
+
+
+def dispatch_multiprocess(cfg_kwargs: dict, frames: list, gop_size: int,
+                          n_procs: int = 2, use_distributed: bool = True,
+                          cache_dir: str | None = None,
+                          prewarm: bool = True):
+    """Encode `frames` as GOP-parallel work across `n_procs` OS processes.
+
+    Returns (aus in presentation order, MpDispatchReport). cfg_kwargs must
+    describe a deterministic config (CQ) for byte-identity with a
+    sequential session.
+    """
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/media_tpu_jax_cache")
+    gops = [frames[i : i + gop_size] for i in range(0, len(frames), gop_size)]
+
+    prewarm_s = 0.0
+    if prewarm and gops:
+        # One throwaway GOP in a sacrificial process populates the shared
+        # compilation cache; every worker then loads instead of compiling.
+        t0 = time.perf_counter()
+        ctx = mp.get_context("spawn")
+        q_in = ctx.Queue()
+        q_out = ctx.Queue()
+        p = ctx.Process(target=_worker_main,
+                        args=(0, 1, None, cfg_kwargs, q_in, q_out, cache_dir))
+        p.start()
+        q_in.put((0, gops[0][: min(2, len(gops[0]))]))
+        q_in.put(None)
+        while True:
+            kind = q_out.get()[0]
+            if kind == "done":
+                break
+        p.join()
+        prewarm_s = time.perf_counter() - t0
+
+    ctx = mp.get_context("spawn")
+    q_in = ctx.Queue()
+    q_out = ctx.Queue()
+    coord = None
+    if use_distributed:
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        coord = f"127.0.0.1:{s.getsockname()[1]}"
+        s.close()
+
+    t_wall = time.perf_counter()
+    procs = [
+        ctx.Process(target=_worker_main,
+                    args=(i, n_procs, coord, cfg_kwargs, q_in, q_out,
+                          cache_dir))
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for g, gf in enumerate(gops):
+        q_in.put((g, gf))
+    for _ in procs:
+        q_in.put(None)
+
+    results: dict[int, list] = {}
+    stats: list[MpGopStats] = []
+    distributed = False
+    ready = done = 0
+    t_warm0 = None
+    while done < n_procs:
+        msg = q_out.get()
+        if msg[0] == "ready":
+            ready += 1
+            distributed = distributed or bool(msg[2])
+            if ready == n_procs:
+                t_warm0 = time.perf_counter()
+        elif msg[0] == "gop":
+            _, widx, g, aus, dt = msg
+            results[g] = aus
+            stats.append(MpGopStats(gop_index=g, n_frames=len(gops[g]),
+                                    worker=widx, compute_s=dt,
+                                    bytes_out=sum(len(a) for a in aus)))
+        elif msg[0] == "done":
+            done += 1
+        elif msg[0] == "log":
+            pass
+    for p in procs:
+        p.join()
+    wall = time.perf_counter() - t_wall
+    warm_wall = (time.perf_counter() - t_warm0) if t_warm0 else wall
+
+    missing = [g for g in range(len(gops)) if g not in results]
+    if missing:
+        raise RuntimeError(f"GOPs not encoded: {missing}")
+    out: list[bytes] = []
+    for g in range(len(gops)):
+        out.extend(results[g])
+    report = MpDispatchReport(wall_s=wall, warm_wall_s=warm_wall,
+                              prewarm_s=prewarm_s, n_procs=n_procs,
+                              distributed=distributed,
+                              gops=sorted(stats, key=lambda s: s.gop_index))
+    return out, report

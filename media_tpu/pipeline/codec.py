@@ -242,15 +242,25 @@ class EncoderSession:
         if self._force_idr or n_frames > until_idr:
             raise RuntimeError("IDR due inside a staged run; use encode_frames")
         enc = self._frame_encoder
-        if not (len(self.slice_rows) == 1 and not cfg.cabac
-                and cfg.rc_mode == "cq"):
-            raise RuntimeError("staged path requires single-slice CAVLC CQ")
+        cbr_cabac = cfg.cabac and cfg.rc_mode == "cbr"
+        if not (len(self.slice_rows) == 1
+                and ((not cfg.cabac and cfg.rc_mode == "cq") or cbr_cabac)):
+            raise RuntimeError(
+                "staged path requires single-slice CAVLC-CQ or CABAC-CBR")
         out: list[bytes] = []
         pending: list = []
 
         def drain(n: int) -> None:
             while len(pending) > n:
                 out.extend(pending.pop(0)())
+
+        if cbr_cabac:
+            for ys_d, us_d, vs_d, _ys, _us, _vs, k in chunks:
+                pending.append(self._dispatch_cbr_cabac_chunk(
+                    ys_d, us_d, vs_d, k))
+                drain(1)
+            drain(0)
+            return out
 
         for ys_d, us_d, vs_d, ys, us, vs, k in chunks:
             prev_recon = self.recon
@@ -344,69 +354,28 @@ class EncoderSession:
             k = min(len(planes) - i, until_idr)
             enc = self._frame_encoder
             if cfg.rc_mode == "cbr" and cfg.cabac:
-                # CABAC CBR, pipelined: the device scan picks QPs from CAVLC
-                # bit counts x the running CABAC/CAVLC ratio (no host round
-                # trip per frame); symbols download + host C++ CABAC packing
-                # happen in finish(), overlapped with the next chunk's device
-                # compute; exact AU sizes correct the virtual buffer one
-                # chunk later.
+                if len(self.slice_rows) != 1:
+                    # Multi-slice CABAC CBR: per-frame exact host loop.
+                    drain(0)
+                    for j in range(k):
+                        out.append(self._encode_p_cbr_cabac(*planes[i + j]))
+                        self.frame_idx += 1
+                    i += k
+                    continue
+                # CABAC CBR, pipelined: the device scan runs rate control on
+                # its own CAVLC pack's bit counts x the running CABAC/CAVLC
+                # ratio (no host round trip per frame) and only the packed
+                # CAVLC streams (~the real bitrate) are downloaded; the C++
+                # CAVLC->CABAC transcoder re-emits each slice as CABAC on
+                # the host, overlapped with the next chunk's device compute.
+                # Exact AU sizes correct the virtual buffer one chunk later.
                 k = min(k, self.PIPELINE_CHUNK)
                 ys = np.stack([p[0] for p in planes[i : i + k]])
                 us = np.stack([p[1] for p in planes[i : i + k]])
                 vs = np.stack([p[2] for p in planes[i : i + k]])
                 ys_d, us_d, vs_d = map(jax.device_put, (ys, us, vs))
-                prev_recon = self.recon
-                if self._rc_dev is not None:
-                    rc_in = {"qp": self._rc_dev[0],
-                             "buf": self._rc_dev[1] + self._rc_corr,
-                             "cplx": self._rc_dev[2]}
-                    self._rc_corr = 0.0
-                else:
-                    rc_in = self.rc_state
-                scale_used = self._cabac_scale
-                sym_d, est_d, qps_d, recon, new_rc = (
-                    enc.encode_pframes_cbr_symbols(
-                        ys_d, us_d, vs_d, prev_recon, rc_in,
-                        int(self._rc_target), bits_scale=scale_used,
-                        deblock=cfg.deblock))
-                self.recon = tuple(recon)
-                self._rc_dev = new_rc
-                frame_base = self.frame_idx
-                self.frame_idx += k
-
-                def finish(sym_d=sym_d, est_d=est_d, qps_d=qps_d,
-                           new_rc=new_rc, k=k, frame_base=frame_base,
-                           scale_used=scale_used) -> list[bytes]:
-                    from .pframe_core import unpack_symbols
-
-                    symbols = np.asarray(sym_d)
-                    est = np.asarray(est_d)
-                    qps = np.asarray(qps_d)
-                    aus = []
-                    ratios = []
-                    for j in range(k):
-                        fields = unpack_symbols(symbols[j])
-                        au = self._pslice_au(fields, qp=int(qps[j]),
-                                             frame_idx=frame_base + j)
-                        actual = len(au) * 8
-                        self._rc_corr += actual - float(est[j])
-                        if est[j] > 0:
-                            ratios.append(actual * scale_used / float(est[j]))
-                        aus.append(au)
-                    if ratios:
-                        r = float(np.mean(ratios))
-                        self._cabac_scale = min(max(
-                            0.7 * self._cabac_scale + 0.3 * r, 0.6), 1.3)
-                    # Refresh the host-visible rc mirror (IDR budgeting and
-                    # the single-frame path read it).
-                    self.rc_state = {
-                        "qp": float(new_rc[0]),
-                        "buf": float(new_rc[1]) + self._rc_corr,
-                        "cplx": float(new_rc[2]),
-                    }
-                    return aus
-
-                pending.append(finish)
+                pending.append(self._dispatch_cbr_cabac_chunk(
+                    ys_d, us_d, vs_d, k))
                 drain(1)
                 i += k
                 continue
@@ -498,6 +467,116 @@ class EncoderSession:
             i += k
         drain(0)
         return out
+
+    def _dispatch_cbr_cabac_chunk(self, ys_d, us_d, vs_d, k: int):
+        """Dispatch one CBR+CABAC P chunk; returns the deferred finisher.
+
+        Device: CBR scan + CAVLC pack (rate feedback = CAVLC bits x the
+        running CABAC/CAVLC ratio). Host (in the finisher, overlapped with
+        the next chunk): download packed streams, C++ CAVLC->CABAC
+        transcode per slice, exact-bits virtual-buffer correction."""
+        cfg = self.cfg
+        enc = self._frame_encoder
+        prev_recon = self.recon
+        if self._rc_dev is not None:
+            rc_in = {"qp": self._rc_dev[0],
+                     "buf": self._rc_dev[1] + self._rc_corr,
+                     "cplx": self._rc_dev[2]}
+            self._rc_corr = 0.0
+        else:
+            rc_in = self.rc_state
+        scale_used = self._cabac_scale
+        cap = self._device_cap()
+        streams_d, bits_d, qps_d, recon, new_rc = enc.encode_pframes_cbr_dev(
+            ys_d, us_d, vs_d, prev_recon, rc_in, int(self._rc_target),
+            bits_scale=scale_used, deblock=cfg.deblock, cap=cap)
+        self.recon = tuple(recon)
+        self._rc_dev = new_rc
+        frame_base = self.frame_idx
+        self.frame_idx += k
+
+        def finish(streams_d=streams_d, bits_d=bits_d, qps_d=qps_d,
+                   new_rc=new_rc, k=k, cap=cap, prev_recon=prev_recon,
+                   ys_d=ys_d, us_d=us_d, vs_d=vs_d,
+                   frame_base=frame_base, scale_used=scale_used,
+                   rc_in=rc_in) -> list[bytes]:
+            bits = np.asarray(bits_d)
+            qps = np.asarray(qps_d)
+            if int(bits.max()) > cap * 32 and cap < enc.cap_words:
+                # Adaptive stream cap overflowed: retry at the full budget
+                # (same rc inputs => identical QPs and streams).
+                streams_d2, bits_d2, qps_d2, recon2, new_rc2 = (
+                    enc.encode_pframes_cbr_dev(
+                        ys_d, us_d, vs_d, prev_recon, rc_in,
+                        int(self._rc_target), bits_scale=scale_used,
+                        deblock=cfg.deblock, cap=enc.cap_words))
+                self.recon = tuple(recon2)
+                self._rc_dev = new_rc2
+                streams_d, bits_d, qps_d, new_rc = (
+                    streams_d2, bits_d2, qps_d2, new_rc2)
+                bits = np.asarray(bits_d)
+                qps = np.asarray(qps_d)
+                cap_eff = enc.cap_words
+            else:
+                cap_eff = cap
+            self._note_bits(int(bits.max()))
+            nw = self._prefix_words(int(bits.max()), cap_eff)
+            streams = np.asarray(streams_d[:, :nw])
+            from .. import native
+
+            aus = []
+            ratios = []
+            for j in range(k):
+                au = self._cabac_au_from_cavlc_stream(
+                    streams[j], int(bits[j]), int(qps[j]), frame_base + j)
+                actual = len(au) * 8
+                est = float(bits[j]) * scale_used
+                self._rc_corr += actual - est
+                if bits[j] > 0:
+                    ratios.append(actual / float(bits[j]))
+                aus.append(au)
+            if ratios:
+                r = float(np.mean(ratios))
+                self._cabac_scale = min(max(
+                    0.7 * self._cabac_scale + 0.3 * r, 0.6), 1.3)
+            # Refresh the host-visible rc mirror (IDR budgeting and the
+            # single-frame path read it).
+            self.rc_state = {
+                "qp": float(new_rc[0]),
+                "buf": float(new_rc[1]) + self._rc_corr,
+                "cplx": float(new_rc[2]),
+            }
+            return aus
+
+        return finish
+
+    def _cabac_au_from_cavlc_stream(self, stream_words, total_bits: int,
+                                    qp: int, frame_idx: int) -> bytes:
+        """One CABAC P-slice AU from a device CAVLC pack: C++ transcode with
+        a Python parse+recode fallback."""
+        from .. import native
+
+        data = np.asarray(stream_words, dtype=np.uint32).byteswap().tobytes()
+        R = self.slice_rows[0][1] - self.slice_rows[0][0]
+        C = self.sps.pic_width_in_mbs
+        payload = native.transcode_pslice_native(
+            data, total_bits, 0, R, C, qp,
+            cabac_init_idc=self.cfg.cabac_init_idc)
+        if payload is None:
+            from ..core.bitstream import BitReader
+            from ..entropy.cabac_slice import write_pslice_cabac
+            from .decoder_tpu import parse_pslice_symbols
+
+            sym = parse_pslice_symbols(BitReader(data), R, C, slice_qp=qp)
+            payload = write_pslice_cabac(
+                sym["mv"], sym["luma_levels"], sym["cdc_levels"],
+                sym["cac_levels"], qp,
+                cabac_init_idc=self.cfg.cabac_init_idc)
+        bw = self._pslice_header_writer(qp, frame_idx=frame_idx)
+        while not bw.byte_aligned():
+            bw.u(1, 1)  # cabac_alignment_one_bit (7.3.4)
+        return self._aud(primary_pic_type=1) + wrap_nal(
+            H264NalType.SLICE, bw.get_bytes() + payload, nal_ref_idc=2)
 
     def _encode_p_run_cbr(self, ys, us, vs, k: int) -> list[bytes]:
         """CBR path: on-device rate-controlled batch; per-frame QP in headers."""

@@ -608,8 +608,18 @@ class TpuDecoder:
                                          hdr.cabac_init_idc)
                 sym["qp_map"] = np.full((n_avail, C), qp, np.int32)
             else:
-                sym = parse_pslice_symbols(br, n_avail, C, slice_qp=qp,
-                                           partial=True)
+                sym = None
+                from .. import native
+
+                nat = native.parse_pslice_native(
+                    rbsp, len(rbsp) * 8, br.bit_position, n_avail, C, qp)
+                if nat is not None and nat["covered"] == n_avail * C:
+                    # C++ fast path: the slice covered the full remaining
+                    # band (single-slice pictures and last slices).
+                    sym = nat
+                if sym is None:
+                    sym = parse_pslice_symbols(br, n_avail, C, slice_qp=qp,
+                                               partial=True)
             covered = int(sym["covered"])
             if covered % C:
                 raise UnsupportedStream("slice ends mid-row")
@@ -682,7 +692,12 @@ class TpuDecoder:
         deblock_starts = slice_starts if asm["idc"] == 2 else ()
         f = asm["fields"]
         if asm["is_p"]:
-            if np.abs(f["mv"] >> 2).max() > MV_RANGE - 2:
+            # The MC window covers integer offsets in [-(MV_RANGE+1),
+            # MV_RANGE+1] (the dy0/dx0 bound in _luma_mc_device); note
+            # mv >> 2 floors, so a -35 qpel MV needs integer -9 — inside
+            # the window for the encoder's own rs=8 envelope (±35 qpel).
+            ix = f["mv"] >> 2
+            if ix.min() < -(MV_RANGE + 1) or ix.max() > MV_RANGE + 1:
                 raise UnsupportedStream("MV beyond the device MC window")
             qp_varies = bool((asm["qp_map"] != qp).any())
             ry, ru, rv = _recon_pframe_device(

@@ -700,6 +700,28 @@ class FrameEncoder:
         return (np.asarray(streams[:, :nw]), bits_np, np.asarray(qps),
                 recon, out_state)
 
+    def encode_pframes_cbr_dev(self, ys_d, us_d, vs_d, ref,
+                               rc_state: dict,
+                               target_bits_per_frame: int,
+                               bits_scale: float = 1.0,
+                               qp_min: int = 12, qp_max: int = 44,
+                               search_range: int = 8,
+                               deblock: bool = False,
+                               cap: int | None = None):
+        """Device-resident CBR batch with a bit-size scale on the rate
+        feedback: the scan integrates device-CAVLC bits x `bits_scale` (the
+        session's running CABAC/CAVLC ratio when the emitted entropy is
+        CABAC via host transcode; 1.0 for plain CAVLC). Returns device
+        arrays (streams, bits, qps, recon, rc) — downloads are the caller's,
+        so they overlap the next chunk's compute."""
+        return self._encode_pbatch_cbr_device(
+            ys_d, us_d, vs_d, *ref,
+            jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
+            jnp.float32(rc_state["cplx"]),
+            float(target_bits_per_frame), qp_min, qp_max, search_range,
+            deblock, False, cap or self.cap_words,
+            bits_scale=jnp.float32(bits_scale))
+
     def encode_pframes_cbr_symbols(self, ys_d, us_d, vs_d, ref,
                                    rc_state: dict,
                                    target_bits_per_frame: int,
@@ -795,7 +817,8 @@ class FrameEncoder:
                                   qp0, buf0, cplx0,
                                   target: float, qp_min: int, qp_max: int,
                                   search_range: int, deblock: bool = False,
-                                  adaptive_qp: bool = False, cap=None):
+                                  adaptive_qp: bool = False, cap=None,
+                                  bits_scale=None):
         from ..entropy.device_cavlc import pack_pslice_device
         from .pframe_core import (
             INTERP_HALO, chroma_qp_device, local_pframe_core,
@@ -877,6 +900,10 @@ class FrameEncoder:
                     self.n_rows, self.n_cols, self.deblock_slice_starts,
                     qp_map=eff_map)
             bits_f = bits.astype(jnp.float32)
+            if bits_scale is not None:
+                # Estimated emitted size when the entropy stage differs from
+                # the device CAVLC pack (host CABAC transcode).
+                bits_f = bits_f * bits_scale
             # Complexity model: bits ~ cplx / qstep  =>  cplx ~ bits * qstep.
             cplx = 0.75 * cplx + 0.25 * bits_f * qstep(qp_f)
             buf = buf + bits_f - target

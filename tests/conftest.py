@@ -19,7 +19,22 @@ os.environ["JAX_PLATFORMS"] = _PLATFORM
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/media_tpu_jax_cache")
+# Key the persistent cache by host CPU features: XLA:CPU AOT entries
+# compiled on a different machine type load with a warning and can SIGSEGV
+# at dispatch (observed: suite crash in backend_compile_and_load after a
+# round ran on a different host); a per-machine directory sidesteps it.
+def _machine_cache_dir(base="/tmp/media_tpu_jax_cache"):
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return f"{base}_{hashlib.md5(flags.encode()).hexdigest()[:8]}"
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _machine_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 if "jax" in sys.modules:  # a sitecustomize already imported + configured jax
@@ -36,19 +51,38 @@ if "jax" in sys.modules:  # a sitecustomize already imported + configured jax
 import pytest
 
 
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_periodically():
+    """Drop compiled executables every few tests and at module boundaries.
+
+    The suite compiles hundreds of XLA CPU programs; keeping them loaded in
+    one process crashes the compiler (SIGSEGV inside
+    backend_compile_and_load — originally after ~150 tests, now earlier as
+    the per-module compile count grew). The persistent compilation cache
+    (conftest header) keeps the recompiles cheap."""
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 10:
+        _TESTS_SINCE_CLEAR[0] = 0
+        try:
+            import jax
+
+            jax.clear_caches()
+        except Exception:
+            pass
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Drop compiled executables between test modules.
-
-    The suite compiles hundreds of XLA CPU programs; keeping them all loaded
-    in one process can crash the compiler late in the run (observed SIGSEGV
-    inside backend_compile_and_load after ~150 tests). The persistent
-    compilation cache (conftest header) keeps recompiles cheap."""
     yield
     try:
         import jax
 
         jax.clear_caches()
+        _TESTS_SINCE_CLEAR[0] = 0
     except Exception:
         pass
 

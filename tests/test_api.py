@@ -331,3 +331,24 @@ def test_ret_code_values_match_reference():
     # Framework extensions live outside the reference value space.
     assert int(E.VIDEO_ENCODER_NOT_INITED) >= 0x100
     assert int(D.VIDEO_DECODER_NOT_INITED) >= 0x100
+
+
+def test_encoder_statistics_surface():
+    """SEncoderStatistics analog (codec_app_def.h:735-760): frame/byte
+    counters, average QP and speed, forced-IDR count."""
+    store = small_store()
+    enc = create_video_encoder(store)
+    enc.init_encoder()
+    enc.start_encoder()
+    for i in range(3):
+        code, _ = enc.encode_one_frame(frame_bytes(64, 48, seed=i))
+        assert code == EncoderRetCode.VIDEO_ENCODER_SUCCESS
+    store.set(P.KEY_FORCE_KEYFRAME, "1")
+    enc.encode_one_frame(frame_bytes(64, 48, seed=9))
+    st = enc.get_encoder_statistics()
+    assert st["width"] == 64 and st["height"] == 48
+    assert st["input_frame_count"] == 4
+    assert st["encoded_bytes"] > 0
+    assert st["average_frame_qp"] > 0
+    assert st["average_frame_speed_ms"] > 0
+    assert st["idr_req_num"] == 1

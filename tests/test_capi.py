@@ -129,3 +129,105 @@ def test_c_abi_decoder_loop():
     assert got == 3
     assert lib.StopDecoder(dec) == 0
     assert lib.DestroyVideoDecoder(dec) == 0
+
+
+def test_c_abi_decoder_event_and_params():
+    """Round-4 C ABI completions (reference VideoDecoder.h:83-192 full
+    surface): GetDecodeParams, SetCallbacks firing PIC_INFO_CHANGE through
+    a C function pointer on a mid-stream resolution change, ResetDecoder,
+    and the injected copy hook."""
+    lib = _lib()
+    lib.CreateVideoDecoder.restype = ctypes.c_void_p
+    lib.DestroyVideoDecoder.argtypes = [ctypes.c_void_p]
+    lib.MtpuCreateDecoder.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.InitDecoder.argtypes = [ctypes.c_void_p]
+    lib.SetDecodeParams.argtypes = [ctypes.c_void_p] + [ctypes.c_uint32] * 3
+    lib.StartDecoder.argtypes = [ctypes.c_void_p]
+    lib.StopDecoder.argtypes = [ctypes.c_void_p]
+    lib.ResetDecoder.argtypes = [ctypes.c_void_p]
+    lib.SendStreamData.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32]
+    lib.RetrieveFrameData.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.GetDecodeParams.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_uint32)] * 4
+
+    class PicInfo(ctypes.Structure):
+        _fields_ = [("width", ctypes.c_uint32), ("height", ctypes.c_uint32)]
+
+    EVENT_CB = ctypes.CFUNCTYPE(None, ctypes.c_uint32,
+                                ctypes.POINTER(PicInfo), ctypes.c_void_p)
+    lib.SetDecoderCallbacks.argtypes = [ctypes.c_void_p, EVENT_CB,
+                                        ctypes.c_void_p]
+
+    events = []
+
+    @EVENT_CB
+    def on_event(ev, info, user):
+        events.append((int(ev), info.contents.width, info.contents.height))
+
+    from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
+
+    rng = np.random.default_rng(2)
+
+    def one_idr(w, h):
+        sess = EncoderSession(EncoderConfig(width=w, height=h, qp=30,
+                                            gop_size=4))
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 140, np.uint8)
+        return sess.encode_frame(yuv.pack_i420(y, u, v))
+
+    dec = lib.CreateVideoDecoder()
+    assert dec
+    assert lib.MtpuCreateDecoder(dec, 0) == 0
+    assert lib.InitDecoder(dec) == 0
+    assert lib.SetDecodeParams(dec, 64, 48, 0) == 0
+    assert lib.SetDecoderCallbacks(dec, on_event, None) == 0
+    assert lib.StartDecoder(dec) == 0
+
+    gw = ctypes.c_uint32(); gh = ctypes.c_uint32()
+    gp = ctypes.c_uint32(); gc = ctypes.c_uint32()
+    assert lib.GetDecodeParams(dec, ctypes.byref(gw), ctypes.byref(gh),
+                               ctypes.byref(gp), ctypes.byref(gc)) == 0
+    assert (gw.value, gh.value) == (64, 48)
+
+    # Feed a 64x48 IDR, then a 96x64 IDR: the second retrieve must fire the
+    # PIC_INFO_CHANGE event and return BAD_PIC_SIZE (reference semantics,
+    # VideoDecoderNetint.cpp:673-684), then succeed at the new geometry.
+    au1 = one_idr(64, 48)
+    au2 = one_idr(96, 64)
+    stream = au1 + au2 + b"\x00\x00\x01\x0c"
+    assert lib.SendStreamData(dec, stream, len(stream)) == 0
+    assert lib.SendStreamData(dec, b"", 0) == 0
+
+    filled = ctypes.c_uint32(); ow = ctypes.c_uint32(); oh = ctypes.c_uint32()
+    buf = ctypes.create_string_buffer(96 * 64 * 3 // 2)
+    assert lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                 ctypes.byref(ow), ctypes.byref(oh)) == 0
+    assert (ow.value, oh.value) == (64, 48)
+    code = lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                 ctypes.byref(ow), ctypes.byref(oh))
+    assert code == 13  # VIDEO_DECODER_BAD_PIC_SIZE
+    assert events and events[-1] == (1, 96, 64)  # INDEX_PIC_INFO_CHANGE
+    assert lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                 ctypes.byref(ow), ctypes.byref(oh)) == 0
+    assert (ow.value, oh.value) == (96, 64)
+    # Geometry adoption is visible through GetDecodeParams.
+    assert lib.GetDecodeParams(dec, ctypes.byref(gw), ctypes.byref(gh),
+                               ctypes.byref(gp), ctypes.byref(gc)) == 0
+    assert (gw.value, gh.value) == (96, 64)
+
+    # ResetDecoder: stream state drops, the session stays usable.
+    assert lib.ResetDecoder(dec) == 0
+    au3 = one_idr(64, 48)
+    stream = au3 + b"\x00\x00\x01\x0c"
+    assert lib.SendStreamData(dec, stream, len(stream)) == 0
+    assert lib.SendStreamData(dec, b"", 0) == 0
+    code = lib.RetrieveFrameData(dec, buf, len(buf), ctypes.byref(filled),
+                                 ctypes.byref(ow), ctypes.byref(oh))
+    assert code in (0, 13)  # geometry change from 96x64 back to 64x48
+    assert lib.StopDecoder(dec) == 0
+    assert lib.DestroyVideoDecoder(dec) == 0

@@ -88,3 +88,46 @@ def test_escape_native_matches_python():
     for _ in range(20):
         data = bytes(rng.choice([0, 0, 0, 1, 2, 3, 255], size=rng.integers(0, 5000)).astype(np.uint8))
         assert native.escape_rbsp_native(data) == escape_rbsp(data)
+
+
+@pytest.mark.parametrize("seed,density", [(0, 0.25), (1, 0.6), (2, 0.05)])
+def test_pslice_native_parse_matches_python(seed, density):
+    """Round-4 C++ CAVLC parser (the decode entropy hot path): symbol arrays
+    recovered from a written slice must equal the Python parser's, and the
+    CAVLC->CABAC transcode must be byte-equal to the Python CABAC coder."""
+    R, C = 4, 5
+    rng = np.random.default_rng(300 + seed)
+
+    def sparse(shape, lo=-40, hi=40):
+        a = rng.integers(lo, hi, size=shape).astype(np.int32)
+        mask = rng.random(shape) < density
+        return (a * mask).astype(np.int32)
+
+    mv = rng.integers(-20, 21, (R, C, 2)).astype(np.int32)
+    mv[0, : C // 2] = 0
+    luma = sparse((R, C, 16, 16))
+    luma[0, : C // 2] = 0
+    cdc = sparse((R, C, 2, 4))
+    cdc[0, : C // 2] = 0
+    cac = sparse((R, C, 2, 4, 15))
+    cac[0, : C // 2] = 0
+
+    bw = BitWriter()
+    slice_coder.write_pslice_mbs(bw, mv=mv, luma_levels=luma,
+                                 cdc_levels=cdc, cac_levels=cac)
+    bw.rbsp_trailing_bits()
+    data = bw.get_bytes()
+
+    nat = native.parse_pslice_native(data, len(data) * 8, 0, R, C, 30)
+    assert nat is not None and nat["covered"] == R * C
+    np.testing.assert_array_equal(nat["mv"], mv)
+    np.testing.assert_array_equal(nat["luma_levels"], luma)
+    np.testing.assert_array_equal(nat["cdc_levels"], cdc)
+    np.testing.assert_array_equal(nat["cac_levels"], cac)
+
+    from media_tpu.entropy.cabac_slice import write_pslice_cabac
+
+    ref = write_pslice_cabac(mv, luma, cdc, cac, 30, cabac_init_idc=2)
+    got = native.transcode_pslice_native(data, len(data) * 8, 0, R, C, 30,
+                                         cabac_init_idc=2)
+    assert got == ref

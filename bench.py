@@ -97,6 +97,10 @@ def main():
 
     frames = synthetic_video(w, h, 3 * n + 1)
     sess = EncoderSession(EncoderConfig(width=w, height=h, qp=qp, gop_size=300))
+    # Wider pipeline chunks for the headline: halves the per-frame share of
+    # tunnel dispatch round trips (bitstream identical; instance-level
+    # override so test-suite compile sizes are unaffected).
+    sess.PIPELINE_CHUNK = 8
 
     # Warm-up: compile the IDR path and the batched-P path at batch size n.
     sess.encode_frame(yuv.pack_i420(*frames[0]))

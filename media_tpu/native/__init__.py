@@ -28,7 +28,8 @@ def _build_lib() -> str | None:
     """Compile (if needed) and return the .so path, or None on failure."""
     srcs = [os.path.join(_CSRC, "cavlc_pack.cpp"),
             os.path.join(_CSRC, "cabac_pack.cpp"),
-            os.path.join(_CSRC, "cavlc_parse.cpp")]
+            os.path.join(_CSRC, "cavlc_parse.cpp"),
+            os.path.join(_CSRC, "cabac_parse.cpp")]
     gen = os.path.join(_CSRC, "gen_tables.py")
     inc = os.path.join(_CSRC, "cavlc_tables.inc")
     srcs = [s_ for s_ in srcs if os.path.exists(s_)]
@@ -115,6 +116,13 @@ def _load():
                 u8p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32p, u8p, ctypes.c_int64,
+            ]
+        if hasattr(lib, "mtpu_cabac_parse_slice_p"):
+            lib.mtpu_cabac_parse_slice_p.restype = ctypes.c_int64
+            lib.mtpu_cabac_parse_slice_p.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, i32p, i32p,
             ]
         if hasattr(lib, "mtpu_cabac_write_slice_p"):
             lib.mtpu_cabac_write_slice_p.restype = ctypes.c_int64
@@ -365,3 +373,31 @@ def transcode_pslice_native(data: bytes, nbits: int, bitpos: int,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def cabac_parse_pslice_native(data: bytes, bitpos: int, R: int, C: int,
+                              qp: int, cabac_init_idc: int = 0):
+    """Parse a CABAC P slice's slice_data via the C++ decoder (decode twin
+    of the native packer). Returns the symbol dict or None (library
+    unavailable / tools beyond the P_L0_16x16 fixed-QP envelope)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_cabac_parse_slice_p"):
+        return None
+    from ..entropy.cabac_init_tables import INIT_MN_P
+
+    init, init_p = _i32(INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
+    mv = np.zeros((R, C, 2), np.int32)
+    luma = np.zeros((R, C, 16, 16), np.int32)
+    cdc = np.zeros((R, C, 2, 4), np.int32)
+    cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    src = np.frombuffer(data, np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.mtpu_cabac_parse_slice_p(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        bitpos, R, C, int(qp), init_p,
+        mv.ctypes.data_as(i32), luma.ctypes.data_as(i32),
+        cdc.ctypes.data_as(i32), cac.ctypes.data_as(i32))
+    if n < 0:
+        return None
+    return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
+            "cac_levels": cac, "covered": int(n)}

@@ -600,12 +600,17 @@ class TpuDecoder:
             if self.ref_planes is None:
                 raise ValueError("P slice without reference frame")
             if pps.entropy_coding_mode:
-                from ..entropy.cabac_slice import parse_pslice_cabac
+                from .. import native
 
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
-                sym = parse_pslice_cabac(rbsp, pos, n_avail, C, qp,
-                                         hdr.cabac_init_idc)
+                sym = native.cabac_parse_pslice_native(
+                    rbsp, pos, n_avail, C, qp, hdr.cabac_init_idc)
+                if sym is None or sym["covered"] != n_avail * C:
+                    from ..entropy.cabac_slice import parse_pslice_cabac
+
+                    sym = parse_pslice_cabac(rbsp, pos, n_avail, C, qp,
+                                             hdr.cabac_init_idc)
                 sym["qp_map"] = np.full((n_avail, C), qp, np.int32)
             else:
                 sym = None

@@ -131,3 +131,36 @@ def test_pslice_native_parse_matches_python(seed, density):
     got = native.transcode_pslice_native(data, len(data) * 8, 0, R, C, 30,
                                          cabac_init_idc=2)
     assert got == ref
+
+
+@pytest.mark.parametrize("idc", [0, 1, 2])
+def test_cabac_pslice_native_parse_matches_python(idc):
+    """C++ CABAC P-slice decoder (decode entropy hot path) must recover the
+    same symbols as the Python mirror for every cabac_init_idc."""
+    from media_tpu.entropy.cabac_slice import (parse_pslice_cabac,
+                                               write_pslice_cabac)
+
+    R, C = 5, 7
+    rng = np.random.default_rng(40 + idc)
+
+    def sparse(shape, density=0.2, mag=5):
+        a = rng.integers(-mag, mag + 1, size=shape).astype(np.int32)
+        mask = rng.random(shape) < density
+        return (a * mask).astype(np.int32)
+
+    mv = rng.integers(-22, 23, (R, C, 2)).astype(np.int32)
+    mv[0, : C // 2] = 0
+    luma = sparse((R, C, 16, 16))
+    luma[0, : C // 2] = 0
+    cdc = sparse((R, C, 2, 4))
+    cdc[0, : C // 2] = 0
+    cac = sparse((R, C, 2, 4, 15), density=0.05)
+    cac[0, : C // 2] = 0
+
+    payload = write_pslice_cabac(mv, luma, cdc, cac, 31, cabac_init_idc=idc)
+    py = parse_pslice_cabac(payload, 0, R, C, 31, cabac_init_idc=idc)
+    nat = native.cabac_parse_pslice_native(payload, 0, R, C, 31,
+                                           cabac_init_idc=idc)
+    assert nat is not None and nat["covered"] == py["covered"] == R * C
+    for k in ("mv", "luma_levels", "cdc_levels", "cac_levels"):
+        np.testing.assert_array_equal(nat[k], py[k])

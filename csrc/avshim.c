@@ -173,8 +173,8 @@ int64_t avshim_encode(const uint8_t *frames, int32_t n, int32_t w, int32_t h,
     for (;;) {
       int r = avcodec_receive_packet(ctx, pkt);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
-      if (r < 0) { err = -6; break; }
-      if (written + pkt->size > out_cap) { err = -7; break; }
+      if (r < 0) { av_packet_unref(pkt); err = -6; break; }
+      if (written + pkt->size > out_cap) { av_packet_unref(pkt); err = -7; break; }
       memcpy(out + written, pkt->data, pkt->size);
       written += pkt->size;
       av_packet_unref(pkt);

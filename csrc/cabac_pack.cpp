@@ -362,6 +362,15 @@ void predict_mv(const int32_t* mv, int R, int C, int r, int c, int* px,
   int ax = a ? a[0] : 0, ay = a ? a[1] : 0;
   int bx = b ? b[0] : 0, by = b ? b[1] : 0;
   int cx = cc_ ? cc_[0] : 0, cy = cc_ ? cc_[1] : 0;
+  // 8.4.1.3.2 rule 2: exactly one available neighbor -> its MV alone
+  // (only differs from the median for C == 1, r > 0: selects mvB).
+  int n_av = (a_avail ? 1 : 0) + (b_avail ? 1 : 0) + (c_avail ? 1 : 0);
+  if (n_av == 1) {
+    if (a_avail) { *px = ax; *py = ay; }
+    else if (b_avail) { *px = bx; *py = by; }
+    else { *px = cx; *py = cy; }
+    return;
+  }
   *px = median3(ax, bx, cx);
   *py = median3(ay, by, cy);
 }

@@ -239,6 +239,16 @@ struct MvPred {
       c_av = true;
     }
     if (a_av && !b_av && !c_av) { *px = ax; *py = ay; return; }
+    // 8.4.1.3.2 rule 2 (see cavlc_parse.cpp): exactly one available
+    // neighbor -> its MV alone; only differs from the median for
+    // single-MB-column pictures (n_cols == 1, r > 0: selects mvB).
+    int n_av = (a_av ? 1 : 0) + (b_av ? 1 : 0) + (c_av ? 1 : 0);
+    if (n_av == 1) {
+      if (a_av) { *px = ax; *py = ay; }
+      else if (b_av) { *px = bx; *py = by; }
+      else { *px = cx; *py = cy; }
+      return;
+    }
     *px = median3(ax, bx, cx);
     *py = median3(ay, by, cy);
   }

@@ -315,6 +315,15 @@ int64_t mtpu_write_slice_p(
     int bx = b_av ? mvm[((r - 1) * C + c) * 2] : 0;
     int by = b_av ? mvm[((r - 1) * C + c) * 2 + 1] : 0;
     if (a_av && !b_av && !c_av) { *px = ax; *py = ay; return; }
+    // 8.4.1.3.2 rule 2: exactly one available neighbor -> its MV alone
+    // (only differs from the median for C == 1, r > 0: selects mvB).
+    int n_av = (a_av ? 1 : 0) + (b_av ? 1 : 0) + (c_av ? 1 : 0);
+    if (n_av == 1) {
+      if (a_av) { *px = ax; *py = ay; }
+      else if (b_av) { *px = bx; *py = by; }
+      else { *px = cax; *py = cay; }
+      return;
+    }
     *px = median3(ax, bx, cax);
     *py = median3(ay, by, cay);
   };

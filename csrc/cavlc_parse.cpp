@@ -283,8 +283,17 @@ struct MvPred {
       c_av = true;
     }
     if (a_av && !b_av && !c_av) { *px = ax; *py = ay; return; }
-    // All in-picture neighbors are inter with refIdx 0 in this envelope, so
-    // the single-refIdx-match rule reduces to the A-only case above.
+    // 8.4.1.3.2 rule 2: exactly one available neighbor (all in-picture
+    // neighbors are inter/refIdx-0 in this envelope) -> its MV alone. For
+    // n_cols >= 2 this never fires beyond the A-only case above; for
+    // single-MB-column pictures (n_cols == 1, r > 0) it selects mvB.
+    int n_av = (a_av ? 1 : 0) + (b_av ? 1 : 0) + (c_av ? 1 : 0);
+    if (n_av == 1) {
+      if (a_av) { *px = ax; *py = ay; }
+      else if (b_av) { *px = bx; *py = by; }
+      else { *px = cx; *py = cy; }
+      return;
+    }
     *px = median3(ax, bx, cx);
     *py = median3(ay, by, cy);
   }

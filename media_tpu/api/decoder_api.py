@@ -125,6 +125,7 @@ class VideoDecoder:
         destroy+init+start policy; stream state and queued frames drop)."""
         if not self._created:
             return DecoderRetCode.VIDEO_DECODER_NOT_INITED
+        was_started = self._started
         self._started = False
         self._decoder = self._make_decoder()
         self._frames.clear()
@@ -133,7 +134,10 @@ class VideoDecoder:
         self._eos_delivered = False
         self._saved_headers = b""
         self._inited = True
-        self._started = True
+        # Preserve the pre-reset run state: reset after create/init but
+        # before start_decoder must not leave the session started (matches
+        # the encoder twin's stop+init+start contract).
+        self._started = was_started
         return DecoderRetCode.VIDEO_DECODER_SUCCESS
 
     def set_decode_params(self, *, width: int | None = None,

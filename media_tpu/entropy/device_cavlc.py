@@ -451,7 +451,13 @@ def _mb_metadata(mv, luma_levels, cdc_levels, cac_levels, R, C):
     med = _median3(mv_a, mv_b, mv_c_eff)
     only_a = (rr == 0) & (cc > 0)
     pred = jnp.where(only_a[..., None], mv_a, med)
-    # top row with C==1 etc.: when r==0 and c==0 pred is med of zeros = 0.
+    # 8.4.1.3.2 rule 2: exactly one available neighbor -> its MV alone. For
+    # C >= 2 this is covered by only_a; for single-MB-column pictures
+    # (C == 1, r > 0) only B is available and the predictor is mvB, not
+    # median(0, mvB, 0). (r==0, c==0: no neighbors, pred stays 0.)
+    if C == 1:
+        only_b = (rr > 0) & (cc == 0)
+        pred = jnp.where(only_b[..., None], mv_b, pred)
 
     a_zero = jnp.all(mv_a == 0, axis=2) & (cc > 0)
     b_zero = jnp.all(mv_b == 0, axis=2) & (rr > 0)

@@ -39,45 +39,43 @@ def gather_mb_windows(ref_plane, n_rows: int, n_cols: int, mb: int, radius: int)
 def full_search(cur_mbs, windows, radius: int, lambda_mv: int = 4):
     """Full-pel exhaustive SAD search.
 
-    cur_mbs: (N, 16, 16) int32 current MBs.
-    windows: (N, 16+2R, 16+2R) int32 reference windows.
+    cur_mbs: (N, 16, 16) int current MBs.
+    windows: (N, 16+2R, 16+2R) int reference windows.
     Returns (mv, sad): mv (N, 2) int32 full-pel (mvx, mvy) relative offsets in
     luma pels, sad (N,) best cost (SAD + lambda * |mv|_1 rate bias).
 
-    The scan is over dy rows only; all 2R+1 horizontal candidates of a row are
-    evaluated in one vectorized (N, 16, 2R+1, 16) tensor op — a latency-bound
-    (2R+1)^2-step loop would leave the VPU idle.
+    Fully unrolled static slicing: every (dy, dx) candidate row is an
+    independent fusion producing its (N, K) SAD vector, so the VPU sees one
+    wide data-parallel graph instead of a serialized best-so-far chain (the
+    old lax.scan carried a 17-step dependency). Differences are computed in
+    int16 (pixels are 8-bit; |diff| <= 255) with int32 accumulation, halving
+    the bandwidth of the dominant tensor op. The winner is a single argmin
+    over the (N, K*K) cost table; argmin's first-minimum rule reproduces the
+    old (dy, dx)-lexicographic tie-break exactly, so bitstreams and the
+    sharded session's byte-identity are unchanged.
     """
-    n = cur_mbs.shape[0]
     K = 2 * radius + 1
+    cur16 = cur_mbs.astype(jnp.int16)
+    win16 = windows.astype(jnp.int16)
     mvx_cost = (lambda_mv * jnp.abs(jnp.arange(K) - radius)).astype(jnp.int32)
 
-    def row_costs(dy):
-        wslice = jax.lax.dynamic_slice_in_dim(windows, dy, 16, axis=1)  # (N,16,16+2R)
-        # Static slices (not a gather) keep this on the fast vector path.
+    def row_costs(dy):  # static dy: pure static slicing
+        wslice = win16[:, dy : dy + 16, :]  # (N, 16, 16+2R)
         cand = jnp.stack(
             [wslice[:, :, dx : dx + 16] for dx in range(K)], axis=2
-        )  # (N, 16, K, 16)
-        sad = jnp.sum(jnp.abs(cand - cur_mbs[:, :, None, :]), axis=(1, 3))  # (N,K)
-        cost = sad + mvx_cost[None, :] + lambda_mv * jnp.abs(dy - radius)
-        dx = jnp.argmin(cost, axis=1).astype(jnp.int32)  # first-min tie-break
-        best = jnp.take_along_axis(cost, dx[:, None], axis=1)[:, 0]
-        return best, dx
+        )  # (N, 16, K, 16) int16
+        sad = jnp.sum(
+            jnp.abs(cand - cur16[:, :, None, :]).astype(jnp.int32),
+            axis=(1, 3),
+        )  # (N, K)
+        return sad + mvx_cost[None, :] + lambda_mv * abs(dy - radius)
 
-    def body(carry, dy):
-        best_cost, best_dy, best_dx = carry
-        cost, dx = row_costs(dy)
-        better = cost < best_cost
-        best_cost = jnp.where(better, cost, best_cost)
-        best_dy = jnp.where(better, dy, best_dy)
-        best_dx = jnp.where(better, dx, best_dx)
-        return (best_cost, best_dy, best_dx), None
-
-    # Initialize the carry from row 0 (not from constants: under shard_map a
-    # constant carry would be cross-device "unvarying" and fail to unify).
-    cost0, dx0 = row_costs(jnp.int32(0))
-    init = (cost0, jnp.zeros_like(dx0), dx0)
-    (cost, dy, dx), _ = jax.lax.scan(body, init, jnp.arange(1, K, dtype=jnp.int32))
+    costs = jnp.stack([row_costs(dy) for dy in range(K)], axis=1)  # (N,K,K)
+    flat = costs.reshape(-1, K * K)
+    idx = jnp.argmin(flat, axis=1).astype(jnp.int32)
+    cost = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    dy = idx // K
+    dx = idx % K
     mv = jnp.stack([dx - radius, dy - radius], axis=-1)  # (mvx, mvy)
     return mv, cost
 

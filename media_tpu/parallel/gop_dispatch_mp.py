@@ -63,6 +63,24 @@ class MpDispatchReport:
         return ideal / self.warm_wall_s
 
 
+def _get_checked(q, procs, what: str, poll_s: float = 5.0):
+    """q.get() that raises instead of hanging when a worker process dies
+    without posting its 'done' sentinel (OOM kill, jax crash, exception
+    before the queue write)."""
+    import queue as _queue
+
+    while True:
+        try:
+            return q.get(timeout=poll_s)
+        except _queue.Empty:
+            dead = [p for p in procs if not p.is_alive() and p.exitcode != 0]
+            if dead:
+                codes = [p.exitcode for p in dead]
+                raise RuntimeError(
+                    f"{what} process(es) died with exit codes {codes} "
+                    "before completing")
+
+
 def _worker_main(widx: int, n_procs: int, coord: str | None,
                  cfg_kwargs: dict, gop_queue, result_queue, cache_dir: str):
     # Fresh JAX per process, CPU platform, shared compilation cache.
@@ -129,7 +147,7 @@ def dispatch_multiprocess(cfg_kwargs: dict, frames: list, gop_size: int,
         q_in.put((0, gops[0][: min(2, len(gops[0]))]))
         q_in.put(None)
         while True:
-            kind = q_out.get()[0]
+            kind = _get_checked(q_out, [p], what="prewarm worker")[0]
             if kind == "done":
                 break
         p.join()
@@ -167,7 +185,7 @@ def dispatch_multiprocess(cfg_kwargs: dict, frames: list, gop_size: int,
     ready = done = 0
     t_warm0 = None
     while done < n_procs:
-        msg = q_out.get()
+        msg = _get_checked(q_out, procs, what="worker")
         if msg[0] == "ready":
             ready += 1
             distributed = distributed or bool(msg[2])

@@ -722,96 +722,6 @@ class FrameEncoder:
             deblock, False, cap or self.cap_words,
             bits_scale=jnp.float32(bits_scale))
 
-    def encode_pframes_cbr_symbols(self, ys_d, us_d, vs_d, ref,
-                                   rc_state: dict,
-                                   target_bits_per_frame: int,
-                                   bits_scale: float = 1.0,
-                                   qp_min: int = 12, qp_max: int = 44,
-                                   search_range: int = 8,
-                                   deblock: bool = False):
-        """CBR batch that returns per-frame SYMBOL tensors (for host CABAC
-        packing) instead of CAVLC streams.
-
-        The rate loop still runs fully on device, fed by the device CAVLC
-        packer's exact bit counts scaled by `bits_scale` — the session's
-        running CABAC/CAVLC size ratio — so the chosen QPs track the real
-        emitted CABAC rate without a host round trip per frame. The caller
-        packs CABAC on the host (overlapped with the next chunk's device
-        compute) and corrects the virtual buffer with the actual AU sizes.
-
-        Returns device arrays (symbols (K,R,C,S) int16, est_bits (K,) f32,
-        qps (K,) int32, recon planes, new_rc (qp, buf, cplx))."""
-        return self._encode_pbatch_cbr_symbols_device(
-            ys_d, us_d, vs_d, *ref,
-            jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
-            jnp.float32(rc_state["cplx"]), jnp.float32(bits_scale),
-            float(target_bits_per_frame), qp_min, qp_max, search_range,
-            deblock)
-
-    @functools.partial(jax.jit, static_argnums=(0, 11, 12, 13, 14, 15))
-    def _encode_pbatch_cbr_symbols_device(self, ys, us, vs,
-                                          ref_y, ref_u, ref_v,
-                                          qp0, buf0, cplx0, bits_scale,
-                                          target: float, qp_min: int,
-                                          qp_max: int, search_range: int,
-                                          deblock: bool = False):
-        from ..entropy.device_cavlc import pack_pslice_device
-        from .pframe_core import (
-            INTERP_HALO, chroma_qp_device, local_pframe_core,
-            unpack_symbols_device,
-        )
-
-        rs = search_range
-        halo_y = rs + INTERP_HALO
-        halo_c = rs // 2 + 2
-        # Minimal stream cap: the pack is only run for its exact bit count
-        # (the stream itself is discarded), so use the smallest buffer.
-        cap = 256
-
-        def qstep(qp):
-            return 0.625 * jnp.exp2(qp / 6.0)
-
-        def step(carry, frame):
-            ry, ru, rv, qp_f, buf, cplx = carry
-            adj_target = jnp.maximum(target - 0.35 * buf, 0.25 * target)
-            want_qstep = jnp.clip(cplx / adj_target, 0.625, 1024.0)
-            qp_f = jnp.clip(6.0 * jnp.log2(want_qstep / 0.625),
-                            float(qp_min), float(qp_max))
-            qp = jnp.clip(jnp.round(qp_f), qp_min, qp_max).astype(jnp.int32)
-            qp_c = chroma_qp_device(qp)
-            ry_ext = jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)), mode="edge")
-            ru_ext = jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
-            rv_ext = jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)), mode="edge")
-            y, u, v = frame
-            out = local_pframe_core(
-                y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
-                ry_ext, ru_ext, rv_ext, qp, qp_c, rs,
-                self.n_rows, self.n_cols,
-            )
-            mv, luma, cdc, cac = unpack_symbols_device(out["symbols"])
-            _stream, bits = pack_pslice_device(mv, luma, cdc, cac, cap,
-                                               bits_only=True)
-            rdy, rdu, rdv = out["recon_y"], out["recon_u"], out["recon_v"]
-            if deblock:
-                from .deblock_apply import deblock_pframe_from_symbols
-
-                rdy, rdu, rdv = deblock_pframe_from_symbols(
-                    rdy, rdu, rdv, out["symbols"], qp, qp_c,
-                    self.n_rows, self.n_cols, self.deblock_slice_starts)
-            est = bits.astype(jnp.float32) * bits_scale
-            cplx = 0.75 * cplx + 0.25 * est * qstep(qp_f)
-            buf = buf + est - target
-            new_carry = (rdy, rdu, rdv, qp_f, buf, cplx)
-            return new_carry, (out["symbols"], est, qp)
-
-        init = (
-            jnp.asarray(ref_y, jnp.uint8), jnp.asarray(ref_u, jnp.uint8),
-            jnp.asarray(ref_v, jnp.uint8), qp0, buf0, cplx0,
-        )
-        carry, (symbols, est_bits, qps) = jax.lax.scan(step, init, (ys, us, vs))
-        recon = carry[:3]
-        return symbols, est_bits, qps, recon, (carry[3], carry[4], carry[5])
-
     @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14, 15, 16))
     def _encode_pbatch_cbr_device(self, ys, us, vs, ref_y, ref_u, ref_v,
                                   qp0, buf0, cplx0,

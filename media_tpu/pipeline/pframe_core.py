@@ -95,7 +95,7 @@ def mc_chroma_ext(ref_c_ext, mv, R, C, halo: int):
     hi = (4 * rs + 3) // 8
     S = hi + 9 + lo
     plane = jnp.pad(ref_c_ext, ((0, 0), (halo, halo)), mode="edge")
-    ctx = _mb_context(plane, R, C, halo, 8, lo, S)
+    ctx = _mb_context(plane.astype(jnp.uint8), R, C, halo, 8, lo, S)
     patch = _extract_win(ctx, iy + lo, ix + lo, 9)
     a = patch[:, :8, :8]
     b = patch[:, :8, 1:9]
@@ -277,27 +277,42 @@ def refine_subpel(cur, plane_g, plane_b, plane_h, plane_j, mv_full, R, C,
     dx0 = mv_full[:, 0] + rs + 1
 
     def win(plane):
-        ctx = _mb_context(plane, R, C, pad_off, 16, rs + 2, 2 * rs + 20)
+        # uint8 context: samples are 8-bit, so the concat/transpose context
+        # build moves 4x less data than int32 (the one-hot extraction casts
+        # to bf16 — exact for 8-bit values — either way).
+        ctx = _mb_context(plane.astype(jnp.uint8), R, C, pad_off, 16,
+                          rs + 2, 2 * rs + 20)
         return _extract_win(ctx, dy0, dx0, 18)
 
     wg, wb, wh, wj = win(plane_g), win(plane_b), win(plane_h), win(plane_j)
 
     base_q = 4 * mv_full  # (N, 2)
-    best_cost = jnp.full((n,), 1 << 30, jnp.int32) + jnp.zeros_like(cur[:, 0, 0])
+    cur16 = cur.astype(jnp.int16)
+    deltas = [(dx, dy) for dy in range(-3, 4) for dx in range(-3, 4)]
+    # Pass 1 — cost of every candidate as one wide data-parallel graph: each
+    # candidate is an independent fused slice+avg+SAD (no best-so-far chain
+    # serializing 49 steps). int16 diffs (|diff| <= 255), int32 accumulation.
+    costs = []
+    for dx, dy in deltas:
+        pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
+        sad = jnp.sum(jnp.abs(pred.astype(jnp.int16) - cur16
+                              ).astype(jnp.int32), axis=(1, 2))
+        mv_rate = lambda_q * (
+            jnp.abs(base_q[:, 0] + dx) + jnp.abs(base_q[:, 1] + dy)
+        )
+        costs.append(sad + mv_rate)
+    costs = jnp.stack(costs, axis=1)  # (N, 49)
+    # argmin's first-minimum rule == the old loop's strict-< update in the
+    # same (dy, dx) order, so MV choices (and bitstreams) are unchanged.
+    best = jnp.argmin(costs, axis=1).astype(jnp.int32)
+    best_cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
+    d_tab = jnp.asarray(deltas, jnp.int32)  # (49, 2)
+    best_d = d_tab[best]
+    # Pass 2 — rebuild only the winning prediction: sum_k onehot_k * pred_k
+    # (a tree reduction XLA fuses with the recomputed slices; exactly one
+    # term is nonzero per MB).
     best_pred = jnp.zeros_like(cur)
-    best_d = jnp.zeros((n, 2), jnp.int32)
-    for dy in range(-3, 4):
-        for dx in range(-3, 4):
-            pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
-            sad = jnp.sum(jnp.abs(pred - cur), axis=(1, 2))
-            mv_rate = lambda_q * (
-                jnp.abs(base_q[:, 0] + dx) + jnp.abs(base_q[:, 1] + dy)
-            )
-            cost = sad + mv_rate
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            best_pred = jnp.where(better[:, None, None], pred, best_pred)
-            best_d = jnp.where(
-                better[:, None], jnp.array([dx, dy], jnp.int32)[None, :], best_d
-            )
+    for k, (dx, dy) in enumerate(deltas):
+        pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
+        best_pred = best_pred + jnp.where((best == k)[:, None, None], pred, 0)
     return base_q + best_d, best_pred, best_cost

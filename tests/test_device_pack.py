@@ -66,7 +66,7 @@ def device_bytes(mv, luma, cdc, cac, cap_words, ratio=0.25):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("shape", [(6, 8), (9, 11)])
+@pytest.mark.parametrize("shape", [(6, 8), (9, 11), (6, 1)])
 def test_device_pack_matches_host(seed, shape):
     R, C = shape
     mv, luma, cdc, cac = random_symbols(R, C, seed)

@@ -198,31 +198,42 @@ def main():
         dec_stream = [idr0] + list(aus)
         d = TpuDecoder()
         for au in dec_stream[:2]:
-            d.decode_annexb(au)  # compile both paths
+            for f in d.decode_annexb(au):
+                f.y  # compile both paths, incl. the download
+        # Whole remaining stream in ONE call: the decoder pipelines host
+        # entropy parse against device recon across AUs; materializing the
+        # last frame forces completion.
+        rest = b"".join(dec_stream[2:])
         t0 = time.perf_counter()
-        got = 0
-        for au in dec_stream[2:]:
-            got += len(d.decode_annexb(au))
+        got = d.decode_annexb(rest)
+        for f in got:
+            f.y  # deliver every frame (downloads overlap later AUs' parse)
         if got:
-            dec_fps = got / (time.perf_counter() - t0)
+            dec_fps = len(got) / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# decode bench skipped: {e}", flush=True)
     try:
         if ops_fps:
-            # CABAC decode on a short run (host entropy parse dominates).
+            # CABAC decode over >= 8 frames (C++ entropy parse + device
+            # recon, same one-call pipelining as the CAVLC figure).
             d2 = TpuDecoder()
-            # ops session stream starts mid-GOP; decode needs its IDR: rebuild
-            # a tiny standalone CABAC clip instead.
+            # ops session stream starts mid-GOP; decode needs its IDR: build
+            # a standalone CABAC clip instead.
             cs = EncoderSession(EncoderConfig(
                 width=w, height=h, qp=qp, gop_size=300, deblock=True,
                 cabac=True))
             caus = [cs.encode_frame(yuv.pack_i420(*frames[i]))
-                    for i in range(3)]
-            d2.decode_annexb(caus[0])
-            d2.decode_annexb(caus[1])
+                    for i in range(min(10, 3 * n + 1))]
+            for au in caus[:2]:
+                for f in d2.decode_annexb(au):
+                    f.y
+            rest2 = b"".join(caus[2:])
             t0 = time.perf_counter()
-            d2.decode_annexb(caus[2])
-            dec_cabac_fps = 1.0 / (time.perf_counter() - t0)
+            got2 = d2.decode_annexb(rest2)
+            for f in got2:
+                f.y
+            if got2:
+                dec_cabac_fps = len(got2) / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# cabac decode bench skipped: {e}", flush=True)
 

@@ -19,6 +19,10 @@ constexpr int NUM_CTX = 460;
 // ctxIdx bases (media_tpu/entropy/cabac_contexts.py)
 constexpr int MB_SKIP_P = 11;
 constexpr int MB_TYPE_P = 14;
+constexpr int MB_TYPE_I = 3;
+constexpr int CHROMA_PRED = 64;
+constexpr int I4_PRED_FLAG = 68;
+constexpr int I4_PRED_REM = 69;
 constexpr int MVD_X = 40;
 constexpr int MVD_Y = 47;
 constexpr int MB_QP_DELTA = 60;
@@ -376,6 +380,208 @@ int64_t mtpu_cabac_parse_slice_p(const uint8_t* data, int64_t nbytes,
         }
       }
       // chroma: mirror of _chroma_blocks(write=False)
+      int32_t* dcp = cdc + (size_t)mb * 8;
+      int32_t* acp = cac + (size_t)mb * 120;
+      if (cbp_chroma == 0) {
+        for (int comp = 0; comp < 2; comp++) {
+          cdcgrid[(size_t)comp * R * C + mb] = 0;
+          for (int b = 0; b < 4; b++)
+            cgrid[(comp * R * 2 + r * 2 + b / 2) * C * 2 + c * 2 + b % 2] = 0;
+        }
+      } else {
+        for (int comp = 0; comp < 2; comp++) {
+          int cbf = dec_block(d, ctx, 3, inc_cdc(comp, r, c), dcp + comp * 4,
+                              &err);
+          if (err) return -1;
+          cdcgrid[(size_t)comp * R * C + mb] = (int8_t)cbf;
+        }
+        if (cbp_chroma == 2) {
+          for (int comp = 0; comp < 2; comp++) {
+            for (int b = 0; b < 4; b++) {
+              int by = r * 2 + b / 2, bx = c * 2 + b % 2;
+              int cbf = dec_block(d, ctx, 4, inc_chroma(comp, by, bx),
+                                  acp + (comp * 4 + b) * 15, &err);
+              if (err) return -1;
+              cgrid[(comp * R * 2 + by) * C * 2 + bx] = (int8_t)cbf;
+            }
+          }
+        } else {
+          for (int comp = 0; comp < 2; comp++)
+            for (int b = 0; b < 4; b++)
+              cgrid[(comp * R * 2 + r * 2 + b / 2) * C * 2 + c * 2 + b % 2] = 0;
+        }
+      }
+      if (d.decode_terminate()) return mb + 1;
+    }
+  }
+  return n_mb;
+}
+
+// Parse a CABAC I slice's slice_data (I_16x16 + I_4x4, fixed QP) — the
+// native mirror of media_tpu/entropy/cabac_slice.parse_islice_cabac.
+// Returns MBs parsed, or <0 (-2: I_PCM / per-MB QP, outside this envelope —
+// the caller falls back to the Python parser; -1: corrupt stream).
+int64_t mtpu_cabac_parse_slice_i(const uint8_t* data, int64_t nbytes,
+                                 int64_t bitpos, int R, int C, int qp,
+                                 const int32_t* init_mn,
+                                 int32_t* mode16, int32_t* chroma_mode,
+                                 int32_t* dc, int32_t* ac,
+                                 int32_t* cdc, int32_t* cac,
+                                 int32_t* is_i4, int32_t* modes4,
+                                 int32_t* luma4) {
+  Ctx ctx;
+  ctx.init(qp, init_mn);
+  Dec d;
+  d.init(data, nbytes, bitpos);
+  int n_mb = R * C;
+  std::memset(mode16, 0, sizeof(int32_t) * n_mb);
+  std::memset(chroma_mode, 0, sizeof(int32_t) * n_mb);
+  std::memset(dc, 0, sizeof(int32_t) * n_mb * 16);
+  std::memset(ac, 0, sizeof(int32_t) * n_mb * 16 * 15);
+  std::memset(cdc, 0, sizeof(int32_t) * n_mb * 8);
+  std::memset(cac, 0, sizeof(int32_t) * n_mb * 120);
+  std::memset(is_i4, 0, sizeof(int32_t) * n_mb);
+  std::memset(modes4, 0, sizeof(int32_t) * n_mb * 16);
+  std::memset(luma4, 0, sizeof(int32_t) * n_mb * 256);
+
+  // cbf neighbor state; I slice: edge condTermFlag = 1 (spec 9.3.3.1.1.9)
+  std::vector<int8_t> lgrid((size_t)R * 4 * C * 4, 0);
+  std::vector<int8_t> cgrid((size_t)2 * R * 2 * C * 2, 0);
+  std::vector<int8_t> dcgrid((size_t)R * C, 0);
+  std::vector<int8_t> cdcgrid((size_t)2 * R * C, 0);
+  std::vector<int32_t> cbp_map((size_t)n_mb, 0);
+  std::vector<int32_t> cm_map((size_t)n_mb, 0);
+  std::vector<int8_t> mode_grid((size_t)R * 4 * C * 4, -1);
+  bool err = false;
+
+  auto inc_luma = [&](int by, int bx) {
+    int a = bx > 0 ? lgrid[by * C * 4 + bx - 1] : 1;
+    int b = by > 0 ? lgrid[(by - 1) * C * 4 + bx] : 1;
+    return a + 2 * b;
+  };
+  auto inc_chroma = [&](int comp, int by, int bx) {
+    int a = bx > 0 ? cgrid[(comp * R * 2 + by) * C * 2 + bx - 1] : 1;
+    int b = by > 0 ? cgrid[(comp * R * 2 + by - 1) * C * 2 + bx] : 1;
+    return a + 2 * b;
+  };
+  auto inc_dc = [&](int r, int c) {
+    int a = c > 0 ? dcgrid[r * C + c - 1] : 1;
+    int b = r > 0 ? dcgrid[(r - 1) * C + c] : 1;
+    return a + 2 * b;
+  };
+  auto inc_cdc = [&](int comp, int r, int c) {
+    int a = c > 0 ? cdcgrid[(size_t)comp * R * C + r * C + c - 1] : 1;
+    int b = r > 0 ? cdcgrid[(size_t)comp * R * C + (r - 1) * C + c] : 1;
+    return a + 2 * b;
+  };
+  auto i4_pred_mode = [&](int gy, int gx) {
+    if (gx <= 0 || gy <= 0) return 2;
+    int a = mode_grid[gy * C * 4 + gx - 1];
+    int b = mode_grid[(gy - 1) * C * 4 + gx];
+    if (a < 0) a = 2;
+    if (b < 0) b = 2;
+    return a < b ? a : b;
+  };
+
+  for (int r = 0; r < R; r++) {
+    for (int c = 0; c < C; c++) {
+      int mb = r * C + c;
+      int avail_inc = ((c > 0 && !is_i4[mb - 1]) ? 1 : 0)
+                      + ((r > 0 && !is_i4[mb - C]) ? 1 : 0);
+      int cbp_luma, cbp_chroma;
+      int32_t* lv4 = luma4 + (size_t)mb * 256;
+      if (!d.decode_bin(ctx, MB_TYPE_I + avail_inc)) {
+        // ---- I_NxN (I_4x4) ----
+        is_i4[mb] = 1;
+        for (int zi = 0; zi < 16; zi++) {
+          int bi = kZscanToRaster[zi];
+          int gy = r * 4 + bi / 4, gx = c * 4 + bi % 4;
+          int pred = i4_pred_mode(gy, gx);
+          int m;
+          if (d.decode_bin(ctx, I4_PRED_FLAG)) {
+            m = pred;
+          } else {
+            int rem = 0;
+            for (int k = 0; k < 3; k++)
+              rem |= d.decode_bin(ctx, I4_PRED_REM) << k;
+            m = rem < pred ? rem : rem + 1;
+          }
+          modes4[(size_t)mb * 16 + zi] = m;
+          mode_grid[gy * C * 4 + gx] = (int8_t)m;
+        }
+        int cm_inc = ((c > 0 && cm_map[mb - 1]) ? 1 : 0)
+                     + ((r > 0 && cm_map[mb - C]) ? 1 : 0);
+        int cm = dec_tu(d, ctx, 3, [&](int k) {
+          return CHROMA_PRED + (k == 0 ? cm_inc : 3);
+        });
+        chroma_mode[mb] = cm;
+        cm_map[mb] = cm;
+        int la = c > 0 ? (cbp_map[mb - 1] & 15) : -1;
+        int lb = r > 0 ? (cbp_map[mb - C] & 15) : -1;
+        int ca = c > 0 ? (cbp_map[mb - 1] >> 4) : -1;
+        int cb = r > 0 ? (cbp_map[mb - C] >> 4) : -1;
+        dec_cbp(d, ctx, la, lb, ca, cb, &cbp_luma, &cbp_chroma);
+        cbp_map[mb] = cbp_luma | (cbp_chroma << 4);
+        if (cbp_luma || cbp_chroma) {
+          if (d.decode_bin(ctx, MB_QP_DELTA)) return -2;  // per-MB QP
+        }
+        dcgrid[mb] = 0;
+        for (int g8 = 0; g8 < 4; g8++) {
+          if (!((cbp_luma >> g8) & 1)) {
+            for (int k = 0; k < 4; k++) {
+              int b = kZscanToRaster[g8 * 4 + k];
+              lgrid[(r * 4 + b / 4) * C * 4 + c * 4 + b % 4] = 0;
+            }
+            continue;
+          }
+          for (int k = 0; k < 4; k++) {
+            int b = kZscanToRaster[g8 * 4 + k];
+            int by = r * 4 + b / 4, bx = c * 4 + b % 4;
+            int cbf = dec_block(d, ctx, 2, inc_luma(by, bx),
+                                lv4 + b * 16, &err);
+            if (err) return -1;
+            lgrid[by * C * 4 + bx] = (int8_t)cbf;
+          }
+        }
+      } else {
+        // ---- I_16x16 ----
+        if (d.decode_terminate()) return -2;  // I_PCM
+        cbp_luma = d.decode_bin(ctx, MB_TYPE_I + 3) ? 15 : 0;
+        cbp_chroma = 0;
+        if (d.decode_bin(ctx, MB_TYPE_I + 4))
+          cbp_chroma = d.decode_bin(ctx, MB_TYPE_I + 5) ? 2 : 1;
+        int mode = d.decode_bin(ctx, MB_TYPE_I + 6) << 1;
+        mode |= d.decode_bin(ctx, MB_TYPE_I + 7);
+        mode16[mb] = mode;
+        cbp_map[mb] = cbp_luma | (cbp_chroma << 4);
+        int cm_inc = ((c > 0 && cm_map[mb - 1]) ? 1 : 0)
+                     + ((r > 0 && cm_map[mb - C]) ? 1 : 0);
+        int cm = dec_tu(d, ctx, 3, [&](int k) {
+          return CHROMA_PRED + (k == 0 ? cm_inc : 3);
+        });
+        chroma_mode[mb] = cm;
+        cm_map[mb] = cm;
+        if (d.decode_bin(ctx, MB_QP_DELTA)) return -2;  // per-MB QP
+        int cbf = dec_block(d, ctx, 0, inc_dc(r, c),
+                            dc + (size_t)mb * 16, &err);
+        if (err) return -1;
+        dcgrid[mb] = (int8_t)cbf;
+        for (int zi = 0; zi < 16; zi++) {
+          int b = kZscanToRaster[zi];
+          int by = r * 4 + b / 4, bx = c * 4 + b % 4;
+          if (cbp_luma) {
+            int32_t tmp[16];
+            int cf = dec_block(d, ctx, 1, inc_luma(by, bx), tmp, &err);
+            if (err) return -1;
+            for (int t = 0; t < 15; t++)
+              ac[((size_t)mb * 16 + b) * 15 + t] = tmp[t];
+            lgrid[by * C * 4 + bx] = (int8_t)cf;
+          } else {
+            lgrid[by * C * 4 + bx] = 0;
+          }
+        }
+      }
+      // ---- chroma residual (shared I_4x4 / I_16x16) ----
       int32_t* dcp = cdc + (size_t)mb * 8;
       int32_t* acp = cac + (size_t)mb * 120;
       if (cbp_chroma == 0) {

@@ -64,6 +64,13 @@ class BitWriter:
     def byte_aligned(self) -> bool:
         return self._nbits == 0
 
+    def put_bytes(self, data) -> None:
+        """Append raw bytes (writer must be byte-aligned) — the fast path
+        for pcm_sample_* payloads (spec 7.3.5: I_PCM)."""
+        if self._nbits:
+            raise ValueError("put_bytes requires byte alignment")
+        self._buf += data
+
     def rbsp_trailing_bits(self) -> None:
         """rbsp_stop_one_bit + zero pad to byte boundary (spec 7.3.2.11)."""
         self.u(1, 1)
@@ -128,6 +135,17 @@ class BitReader:
 
     def byte_aligned(self) -> bool:
         return (self._pos & 7) == 0
+
+    def read_bytes(self, n: int) -> bytes:
+        """Read n raw bytes (reader must be byte-aligned) — the fast path
+        for pcm_sample_* payloads (spec 7.3.5: I_PCM)."""
+        if self._pos & 7:
+            raise ValueError("read_bytes requires byte alignment")
+        start = self._pos >> 3
+        if start + n > len(self._data):
+            raise EOFError("read past end of bitstream")
+        self._pos += n * 8
+        return bytes(self._data[start : start + n])
 
     def bits_remaining(self) -> int:
         return len(self._data) * 8 - self._pos

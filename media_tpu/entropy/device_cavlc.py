@@ -161,57 +161,75 @@ def _wordshift_right(words, o, max_shift: int):
     return out
 
 
-def _bitcat_caps(n: int, leaf_w: int, out_cap: int, ratio: float):
+def _bitcat_caps(n: int, leaf_w: int, out_cap: int, ratio: float,
+                 arity: int):
     """Static per-level capacity schedule for bitcat_reduce."""
     caps = []
     w, leaves = leaf_w, 1
     while n > 1:
-        leaves *= 2
+        leaves *= arity
         want = int(np.ceil(ratio * leaf_w * leaves))
-        w_next = max(w + 1, min(2 * w + 1, max(want, 8), max(out_cap, w + 1)))
+        w_next = max(w + 1,
+                     min(arity * w + 1, max(want, 8), max(out_cap, w + 1)))
         caps.append(w_next)
         w = w_next
-        n = (n + 1) // 2
+        n = (n + arity - 1) // arity
     return caps
 
 
-def bitcat_reduce(words, bits, out_cap: int, ratio: float = 1.0):
+def bitcat_reduce(words, bits, out_cap: int, ratio: float = 1.0,
+                  arity: int = 8):
     """Concatenate (..., N, W) MSB-first bit chunks along axis -2.
 
     words must be zero beyond each chunk's `bits` (..., N) valid bits.
-    Pairwise tree: the right sibling is barrel-shifted by the left sibling's
-    bit count and OR'd in — contiguous bit ranges stay disjoint, so OR is
-    exact concatenation. Per-level capacities grow as min(full rate,
+    `arity`-way tree: within each group, chunk g is barrel-shifted by the
+    exclusive prefix sum of the group's bit counts and OR'd in — contiguous
+    bit ranges stay disjoint, so OR is exact concatenation. All `arity`
+    shifts of a level run as ONE vectorized op over the group axis; a high
+    arity therefore cuts the level count (the tree is latency-bound on its
+    serial level chain, not bandwidth-bound: 8-ary turns ~18 dependent
+    levels at 1080p into 6). Per-level capacities grow as min(full rate,
     ratio * worst case, out_cap); content whose contiguous spans exceed a
     level cap sets ok=False (the caller falls back to host packing).
 
-    Returns (words (..., W_top >= out_cap is NOT guaranteed; W_top is the
-    top-level cap), bits (...,), ok (...,) bool).
+    Returns (words (..., W_top), bits (...,), ok (...,) bool).
     """
+    import functools as _ft
+    import operator as _op
+
     words = jnp.asarray(words, jnp.uint32)
     bits = jnp.asarray(bits, jnp.int32)
-    caps = _bitcat_caps(words.shape[-2], words.shape[-1], out_cap, ratio)
+    caps = _bitcat_caps(words.shape[-2], words.shape[-1], out_cap, ratio,
+                        arity)
     ok = jnp.ones(words.shape[:-2], bool)
     for cap in caps:
         n = words.shape[-2]
-        if n % 2:
+        pad_n = (-n) % arity
+        if pad_n:
             words = jnp.concatenate(
-                [words, jnp.zeros_like(words[..., :1, :])], axis=-2)
+                [words, jnp.zeros(words.shape[:-2] + (pad_n, words.shape[-1]),
+                                  words.dtype)], axis=-2)
             bits = jnp.concatenate(
-                [bits, jnp.zeros_like(bits[..., :1])], axis=-1)
-        a_w, b_w = words[..., 0::2, :], words[..., 1::2, :]
-        a_b, b_b = bits[..., 0::2], bits[..., 1::2]
-        w_prev = a_w.shape[-1]
-        bs = _bitshift_right(b_w, (a_b & 31).astype(jnp.uint32))
+                [bits, jnp.zeros(bits.shape[:-1] + (pad_n,), bits.dtype)],
+                axis=-1)
+        n = words.shape[-2]
+        g_w = words.reshape(words.shape[:-2] + (n // arity, arity,
+                                                words.shape[-1]))
+        g_b = bits.reshape(bits.shape[:-1] + (n // arity, arity))
+        w_prev = g_w.shape[-1]
+        # Exclusive prefix of bit counts within each group: chunk g lands at
+        # bit offset prefix[g] of the concatenated group.
+        prefix = jnp.cumsum(g_b, axis=-1) - g_b  # (..., n/arity, arity)
+        bs = _bitshift_right(g_w, (prefix & 31).astype(jnp.uint32))
         if bs.shape[-1] < cap:
-            bs = jnp.pad(bs, [(0, 0)] * (bs.ndim - 1) + [(0, cap - bs.shape[-1])])
+            bs = jnp.pad(bs,
+                         [(0, 0)] * (bs.ndim - 1) + [(0, cap - bs.shape[-1])])
         else:
             bs = bs[..., :cap]
-        bs = _wordshift_right(bs, a_b >> 5, w_prev)
-        if w_prev < cap:
-            a_w = jnp.pad(a_w, [(0, 0)] * (a_w.ndim - 1) + [(0, cap - w_prev)])
-        words = a_w | bs
-        bits = a_b + b_b
+        bs = _wordshift_right(bs, prefix >> 5, (arity - 1) * w_prev)
+        words = _ft.reduce(_op.or_,
+                           [bs[..., g, :] for g in range(arity)])
+        bits = jnp.sum(g_b, axis=-1)
         ok = ok & jnp.all(bits <= 32 * cap, axis=-1)
     return words[..., 0, :], bits[..., 0], ok
 
@@ -232,7 +250,8 @@ def _pack_codes(vals, lens, n_words: int):
     leaf = jnp.where(lens > 0,
                      vals << ((32 - jnp.clip(lens, 0, 31)) & 31).astype(jnp.uint32),
                      jnp.uint32(0))
-    words, nbits, _ = bitcat_reduce(leaf[..., None], lens, n_words, ratio=1.0)
+    words, nbits, _ = bitcat_reduce(leaf[..., None], lens, n_words,
+                                    ratio=1.0)
     if words.shape[-1] < n_words:
         words = jnp.pad(
             words, [(0, 0)] * (words.ndim - 1) + [(0, n_words - words.shape[-1])])
@@ -254,12 +273,20 @@ def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
     last = jnp.max(jnp.where(levels != 0, pos[None, :], -1), axis=1)
     total_zeros = jnp.where(total_coeff > 0, last + 1 - total_coeff, 0)
 
-    # k-th nonzero from the end (one-hot over positions).
+    # k-th nonzero from the end (one-hot over positions). Level and position
+    # ride in ONE packed int32 ((level + 4096) << 5 | pos: |level| <= 2063
+    # fits 13 bits) so the masked reduction runs once, not twice — exactly
+    # one selected term per (row, k), so unpacking is exact.
     rev_cum = jnp.cumsum(nz[:, ::-1], axis=1)[:, ::-1]
     ks = jnp.arange(mc, dtype=jnp.int32)
     sel = (rev_cum[:, None, :] == (ks[None, :, None] + 1)) & (nz[:, None, :] == 1)
-    level_from_end = jnp.sum(jnp.where(sel, levels[:, None, :], 0), axis=2)
-    pos_from_end = jnp.sum(jnp.where(sel, pos[None, None, :], 0), axis=2)
+    packed = ((levels + 4096) << 5) | pos[None, :]
+    packed_from_end = jnp.sum(jnp.where(sel, packed[:, None, :], 0), axis=2)
+    # Empty slots decode to level -4096 / pos 0 (instead of the old 0 / 0);
+    # every downstream use is gated on slot < total_coeff, and -4096 never
+    # looks like a trailing one.
+    level_from_end = (packed_from_end >> 5) - 4096
+    pos_from_end = packed_from_end & 31
 
     is_one = (jnp.abs(level_from_end) == 1).astype(jnp.int32)
     t1_run = jnp.cumprod(is_one, axis=1)
@@ -353,19 +380,21 @@ def encode_block_codes(levels, n_c, *, max_coeff: int, chroma_dc: bool):
     zl = total_zeros[:, None] - (jnp.cumsum(runs, axis=1) - runs)
     active = ((kk[None, :] < total_coeff[:, None] - 1) & (zl > 0))
     zl_idx = jnp.clip(jnp.minimum(zl, 7) - 1, 0, 6)
-    # Table lookup as a one-hot bf16 matmul (values <= 255, exact): element
-    # gathers serialize on TPU, the MXU does not.
-    rb_flat = (zl_idx * 15 + runs).reshape(-1)
-    rb_onehot = (
-        rb_flat[:, None] == jnp.arange(105, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)
-    rb_tbl = jnp.stack(
-        [jnp.asarray(_LEN_RB).reshape(-1), jnp.asarray(_COD_RB).reshape(-1)],
-        axis=1).astype(jnp.bfloat16)
-    rb_out = jnp.dot(rb_onehot, rb_tbl,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
-    rb_len = rb_out[:, 0].reshape(zl_idx.shape)
-    rb_val = rb_out[:, 1].reshape(zl_idx.shape)
+    # The zl > 6 column (zl_idx 6) is regular — run < 7: 3-bit code 7-run;
+    # run >= 7: unary (run-4 zeros then 1) — so it needs no table. The
+    # remaining 6x15 table rides in ONE packed int32 constant per entry
+    # (len << 12 | code), looked up by a fused select-sum (compile-time
+    # constants; no 105-wide one-hot materialization, no MXU round trip).
+    reg_len = jnp.where(runs < 7, 3, runs - 3)
+    reg_val = jnp.where(runs < 7, 7 - runs, 1)
+    packed_tbl = ((_LEN_RB[:6] << 12) | _COD_RB[:6]).reshape(-1)  # (90,)
+    rb_idx = zl_idx * 15 + runs
+    rb_packed = jnp.zeros_like(rb_idx)
+    for i, pv in enumerate(packed_tbl.tolist()):
+        if pv:
+            rb_packed = rb_packed + jnp.where(rb_idx == i, jnp.int32(pv), 0)
+    rb_len = jnp.where(zl_idx == 6, reg_len, rb_packed >> 12)
+    rb_val = jnp.where(zl_idx == 6, reg_val, rb_packed & 0xFFF)
     rb_len = jnp.where(active, rb_len, 0)
 
     vals = jnp.concatenate([
@@ -684,6 +713,9 @@ def pack_pslice_device(mv, luma_levels, cdc_levels, cac_levels,
     # Excluded chunks (bits forced to 0 by cbp/skip masks) still hold their
     # codeword bits; the OR-based tree needs them fully zero.
     chunks_w = jnp.where((chunks_b > 0)[:, None], chunks_w, 0)
+    # Pin the per-chunk buffers: without the barrier XLA rematerializes the
+    # per-block codeword stage into the reduction levels that consume it.
+    chunks_w, chunks_b = jax.lax.optimization_barrier((chunks_w, chunks_b))
 
     # Bitcat tree: pairwise concatenation of all chunks into the stream.
     # ratio gives every level that fraction of its theoretical worst-case bit

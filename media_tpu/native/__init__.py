@@ -124,6 +124,13 @@ def _load():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32p, i32p, i32p, i32p, i32p,
             ]
+        if hasattr(lib, "mtpu_cabac_parse_slice_i"):
+            lib.mtpu_cabac_parse_slice_i.restype = ctypes.c_int64
+            lib.mtpu_cabac_parse_slice_i.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ]
         if hasattr(lib, "mtpu_cabac_write_slice_p"):
             lib.mtpu_cabac_write_slice_p.restype = ctypes.c_int64
             lib.mtpu_cabac_write_slice_p.argtypes = [
@@ -373,6 +380,44 @@ def transcode_pslice_native(data: bytes, nbits: int, bitpos: int,
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def cabac_parse_islice_native(data: bytes, bitpos: int, R: int, C: int,
+                              qp: int):
+    """Parse a CABAC I slice's slice_data via the C++ decoder. Returns the
+    symbol dict (parse_islice_cabac layout) or None (library unavailable /
+    I_PCM / per-MB QP — caller falls back to the Python parser)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mtpu_cabac_parse_slice_i"):
+        return None
+    from ..entropy.cabac_init_tables import INIT_MN_I
+
+    init, init_p = _i32(INIT_MN_I)
+    mode16 = np.zeros((R, C), np.int32)
+    chroma_mode = np.zeros((R, C), np.int32)
+    dc = np.zeros((R, C, 16), np.int32)
+    ac = np.zeros((R, C, 16, 15), np.int32)
+    cdc = np.zeros((R, C, 2, 4), np.int32)
+    cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    is_i4 = np.zeros((R, C), np.int32)
+    modes4 = np.zeros((R, C, 16), np.int32)
+    luma4 = np.zeros((R, C, 16, 16), np.int32)
+    src = np.frombuffer(data, np.uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    n = lib.mtpu_cabac_parse_slice_i(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        bitpos, R, C, int(qp), init_p,
+        mode16.ctypes.data_as(i32), chroma_mode.ctypes.data_as(i32),
+        dc.ctypes.data_as(i32), ac.ctypes.data_as(i32),
+        cdc.ctypes.data_as(i32), cac.ctypes.data_as(i32),
+        is_i4.ctypes.data_as(i32), modes4.ctypes.data_as(i32),
+        luma4.ctypes.data_as(i32))
+    if n < 0:
+        return None
+    return {"mode16": mode16, "chroma_mode": chroma_mode, "dc_levels": dc,
+            "ac_levels": ac, "cdc_levels": cdc, "cac_levels": cac,
+            "is_i4": is_i4.astype(bool), "modes4": modes4,
+            "luma4_levels": luma4, "covered": int(n)}
 
 
 def cabac_parse_pslice_native(data: bytes, bitpos: int, R: int, C: int,

@@ -55,8 +55,10 @@ def full_search(cur_mbs, windows, radius: int, lambda_mv: int = 4):
     sharded session's byte-identity are unchanged.
     """
     K = 2 * radius + 1
-    cur16 = cur_mbs.astype(jnp.int16)
-    win16 = windows.astype(jnp.int16)
+    # Barrier: materialize the int16 copies once — without it XLA remats
+    # the windows build into many of the K^2 candidate fusions.
+    cur16, win16 = jax.lax.optimization_barrier(
+        (cur_mbs.astype(jnp.int16), windows.astype(jnp.int16)))
     mvx_cost = (lambda_mv * jnp.abs(jnp.arange(K) - radius)).astype(jnp.int32)
 
     def row_costs(dy):  # static dy: pure static slicing

@@ -75,6 +75,14 @@ class EncoderConfig:
     # tightening rate granularity from one QP step (~12% bits) to ~1%.
     # Composes with deblock (spec 8.7.2 per-edge qPav thresholds).
     adaptive_qp: bool = False
+    # Mathematically lossless encode: every frame is an IDR whose
+    # macroblocks are all I_PCM (spec 7.3.5, mb_type 25) — raw 8-bit
+    # samples in the bitstream, so any conformant decoder reproduces the
+    # input bit-exactly (the BASELINE.json "bit-exact lossless" clause;
+    # the reference's SW encoder exposes no lossless mode of its own).
+    # Forces CAVLC headers and disables deblocking (I_PCM MBs carry QP 0,
+    # which makes the filter a no-op anyway).
+    lossless: bool = False
 
 
 class EncoderSession:
@@ -82,6 +90,10 @@ class EncoderSession:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.lossless:
+            cfg.deblock = False
+            cfg.cabac = False
+            cfg.rc_mode = "cq"
         self.sps = SPS.for_size(cfg.width, cfg.height, level_idc=cfg.level_idc)
         if cfg.signal_timing and cfg.framerate > 0:
             self.sps.vui_timing = (1, 2 * cfg.framerate)
@@ -177,6 +189,10 @@ class EncoderSession:
         u = yuv.pad_to_mb_grid(u, 8)
         v = yuv.pad_to_mb_grid(v, 8)
 
+        if cfg.lossless:
+            data = self._encode_ipcm(y, u, v)
+            self.frame_idx += 1
+            return data
         is_idr = (
             self.frame_idx % cfg.gop_size == 0
             or self._force_idr
@@ -321,6 +337,8 @@ class EncoderSession:
         compute). Same bitstream as repeated encode_frame calls. Returns one
         Annex-B AU per input frame."""
         cfg = self.cfg
+        if cfg.lossless:
+            return [self.encode_frame(b) for b in i420_frames]
         planes = []
         for buf in i420_frames:
             y, u, v = yuv.split_i420(buf, cfg.width, cfg.height)
@@ -838,6 +856,67 @@ class EncoderSession:
         # typically ~4x the following P frames).
         self._note_bits(len(au) * 8)
         return au
+
+    # -------------------------------------------------------------- lossless
+
+    def _encode_ipcm(self, y, u, v) -> bytes:
+        """One all-I_PCM IDR AU: raw 8-bit samples, mathematically lossless
+        (spec 7.3.5 pcm_sample_luma/chroma; mb_type 25 in I slices).
+
+        Every MB is byte-aligned after its type code, so the whole slice
+        body is assembled as one numpy byte layout: a 2-byte prefix per MB
+        (ue(25) = 9 bits '000011010' + 7 pcm_alignment_zero_bits) followed
+        by 256 luma + 64 Cb + 64 Cr samples."""
+        n_cols = self.sps.pic_width_in_mbs
+        R = self.sps.pic_height_in_mbs
+        self.recon = (y, u, v)  # recon == source by construction
+        self.frame_idx_of_idr = self.frame_idx
+        yb = (y.reshape(R, 16, n_cols, 16).transpose(0, 2, 1, 3)
+              .reshape(R, n_cols, 256))
+        ub = (u.reshape(R, 8, n_cols, 8).transpose(0, 2, 1, 3)
+              .reshape(R, n_cols, 64))
+        vb = (v.reshape(R, 8, n_cols, 8).transpose(0, 2, 1, 3)
+              .reshape(R, n_cols, 64))
+        pre = np.zeros((R, n_cols, 2), np.uint8)
+        pre[..., 0] = 0x0D
+        mbs = np.concatenate(
+            [pre, yb.astype(np.uint8), ub.astype(np.uint8),
+             vb.astype(np.uint8)], axis=2)
+        slice_nals = b""
+        for r0, r1 in self.slice_rows:
+            bw = BitWriter()
+            hdr = SliceHeader(
+                slice_type=7,
+                idr=True,
+                idr_pic_id=self.idr_pic_id,
+                frame_num=0,
+                first_mb_in_slice=r0 * n_cols,
+                slice_qp_delta=0,
+                disable_deblocking_filter_idc=self._deblock_idc,
+            )
+            hdr.write(bw, self.sps, self.pps)
+            bw.ue(25)  # mb_type I_PCM (first MB; header end is unaligned)
+            while not bw.byte_aligned():
+                bw.u(1, 0)  # pcm_alignment_zero_bit
+            band = mbs[r0:r1].tobytes()
+            bw.put_bytes(band[2:])  # first MB's 2-byte prefix written above
+            bw.rbsp_trailing_bits()
+            slice_nals += wrap_nal(H264NalType.IDR_SLICE, bw.get_bytes(),
+                                   nal_ref_idc=3)
+        self.idr_pic_id = (self.idr_pic_id + 1) & 0xFFFF
+        sps_w = BitWriter()
+        self.sps.write(sps_w)
+        sps_w.rbsp_trailing_bits()
+        pps_w = BitWriter()
+        self.pps.write(pps_w)
+        pps_w.rbsp_trailing_bits()
+        return (
+            self._aud(primary_pic_type=0)
+            + wrap_nal(H264NalType.SPS, sps_w.get_bytes())
+            + wrap_nal(H264NalType.PPS, pps_w.get_bytes())
+            + self._idr_sei()
+            + slice_nals
+        )
 
     # --------------------------------------------------------------------- P
 

@@ -187,7 +187,9 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
     # The wave math is unchanged (sub-waves stay sequential inside the body);
     # this trades 2R+C tiny scan steps — whose per-step dispatch dominates —
     # for (2R+C)/UNROLL fatter ones XLA can fuse across.
-    UNROLL = 8
+    import os as _os
+
+    UNROLL = int(_os.environ.get("MEDIA_TPU_DEBLOCK_UNROLL", "8"))
     lay = _wave_layout(R, C, UNROLL)
     n_waves, LW, maxw = lay["n_waves"], lay["LW"], lay["maxw"]
     n_slots = (n_waves + 2) * LW

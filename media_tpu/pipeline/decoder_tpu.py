@@ -526,6 +526,53 @@ def _recon_iframe_mixed_device(R: int, C: int, mode16, chroma_mode, luma_sym,
 # ------------------------------------------------------------------ session
 
 
+class LazyDecodedFrame:
+    """DecodedFrame twin whose planes stay DEVICE-resident until accessed.
+
+    The TPU decode pipeline is host-entropy-parse -> device recon ->
+    plane download; materializing planes eagerly serializes the (slow)
+    host<->device transfer of frame i against the host parse of frame
+    i+1. Returning lazy frames lets decode_annexb dispatch every AU's
+    recon before any download happens — device compute and transfers then
+    overlap the next AU's entropy parse. Duck-types ref.decoder.
+    DecodedFrame (.y/.u/.v/.frame_num/.idr)."""
+
+    __slots__ = ("_dev", "_np", "frame_num", "idr")
+
+    def __init__(self, dev_planes, frame_num: int, idr: bool):
+        self._dev = dev_planes
+        self._np = None
+        self.frame_num = frame_num
+        self.idr = idr
+
+    def start_transfer(self) -> None:
+        """Kick off the device->host copies without blocking (the decode
+        loop calls this right after dispatching the NEXT AU's recon, so
+        the transfer rides under the following host entropy parse)."""
+        for p in self._dev:
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                break
+
+    def _materialize(self):
+        if self._np is None:
+            self._np = tuple(np.asarray(p) for p in self._dev)
+        return self._np
+
+    @property
+    def y(self):
+        return self._materialize()[0]
+
+    @property
+    def u(self):
+        return self._materialize()[1]
+
+    @property
+    def v(self):
+        return self._materialize()[2]
+
+
 @dataclass
 class TpuDecoder:
     """Stateful Annex-B decoder (same interface as ReferenceDecoder)."""
@@ -546,6 +593,7 @@ class TpuDecoder:
                 frame = self._decode_slice(nu.rbsp, nu.nal_type,
                                            nu.nal_ref_idc)
                 if frame is not None:
+                    frame.start_transfer()
                     out.append(frame)
                     self.frames.append(frame)
         return out
@@ -648,11 +696,16 @@ class TpuDecoder:
                 raise UnsupportedStream(
                     "per-slice QP change in an I picture")
             if pps.entropy_coding_mode:
-                from ..entropy.cabac_slice import parse_islice_cabac
+                from .. import native
 
                 pos = br.bit_position
                 pos += (8 - pos % 8) % 8
-                sy = parse_islice_cabac(rbsp, pos, n_avail, C, qp)
+                sy = native.cabac_parse_islice_native(rbsp, pos, n_avail, C,
+                                                      qp)
+                if sy is None:
+                    from ..entropy.cabac_slice import parse_islice_cabac
+
+                    sy = parse_islice_cabac(rbsp, pos, n_avail, C, qp)
             else:
                 from .slice_coder import parse_islice_mbs
 
@@ -736,7 +789,4 @@ class TpuDecoder:
 
         if nal_ref_idc != 0:
             self.ref_planes = (ry, ru, rv)
-        return DecodedFrame(
-            y=np.asarray(ry), u=np.asarray(ru), v=np.asarray(rv),
-            frame_num=hdr.frame_num, idr=hdr.idr,
-        )
+        return LazyDecodedFrame((ry, ru, rv), hdr.frame_num, hdr.idr)

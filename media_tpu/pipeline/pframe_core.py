@@ -287,16 +287,65 @@ def refine_subpel(cur, plane_g, plane_b, plane_h, plane_j, mv_full, R, C,
     wg, wb, wh, wj = win(plane_g), win(plane_b), win(plane_h), win(plane_j)
 
     base_q = 4 * mv_full  # (N, 2)
-    cur16 = cur.astype(jnp.int16)
+
+    # LANE-ALIGNED candidate evaluation: an (N, 18, 18) window pads its
+    # 18-wide minor axis to the 128-lane tile (7x wasted bandwidth), so the
+    # nine (oy, ox) integer shifts each plane can contribute are materialized
+    # ONCE as flattened (N, 256) int16 tensors — 256 = 2x128 lanes, fully
+    # dense. Every quarter-pel candidate is then a rounded average of two of
+    # these aligned tensors (Table 8-12 via the same (plane, shift) map as
+    # interp.subpel_value), and SAD/select run at full VPU width.
+    def plane_shifts(w):
+        w16 = w.astype(jnp.int16)
+        return {(oy, ox): w16[:, oy : oy + 16, ox : ox + 16].reshape(n, 256)
+                for oy in range(3) for ox in range(3)}
+
+    shifts = {
+        "g": plane_shifts(wg), "b": plane_shifts(wb),
+        "h": plane_shifts(wh), "j": plane_shifts(wj),
+    }
+    # Pin the 36 shift tensors as materialized values: without the barrier
+    # XLA rematerializes the (expensive) one-hot window extraction into
+    # every candidate's fusion, tripling the refine cost.
+    shifts = jax.lax.optimization_barrier(shifts)
+    cur_f = cur.astype(jnp.int16).reshape(n, 256)
+
+    # (xf, yf) -> up to two taps of (plane, px, py); mirrors subpel_value.
+    TAPS = {
+        (0, 0): (("g", 0, 0),),
+        (1, 0): (("g", 0, 0), ("b", 0, 0)),
+        (2, 0): (("b", 0, 0),),
+        (3, 0): (("b", 0, 0), ("g", 1, 0)),
+        (0, 1): (("g", 0, 0), ("h", 0, 0)),
+        (1, 1): (("b", 0, 0), ("h", 0, 0)),
+        (2, 1): (("b", 0, 0), ("j", 0, 0)),
+        (3, 1): (("b", 0, 0), ("h", 1, 0)),
+        (0, 2): (("h", 0, 0),),
+        (1, 2): (("h", 0, 0), ("j", 0, 0)),
+        (2, 2): (("j", 0, 0),),
+        (3, 2): (("j", 0, 0), ("h", 1, 0)),
+        (0, 3): (("h", 0, 0), ("g", 0, 1)),
+        (1, 3): (("h", 0, 0), ("b", 0, 1)),
+        (2, 3): (("j", 0, 0), ("b", 0, 1)),
+        (3, 3): (("h", 1, 0), ("b", 0, 1)),
+    }
+
+    def pred_flat(dx, dy):
+        ox = 1 + (dx >> 2)
+        oy = 1 + (dy >> 2)
+        taps = TAPS[(dx & 3, dy & 3)]
+        vals = [shifts[p][(oy + py, ox + px)] for p, px, py in taps]
+        if len(vals) == 1:
+            return vals[0]
+        return (vals[0] + vals[1] + 1) >> 1  # int16-safe: a+b+1 <= 511
+
     deltas = [(dx, dy) for dy in range(-3, 4) for dx in range(-3, 4)]
-    # Pass 1 — cost of every candidate as one wide data-parallel graph: each
-    # candidate is an independent fused slice+avg+SAD (no best-so-far chain
-    # serializing 49 steps). int16 diffs (|diff| <= 255), int32 accumulation.
+    # Pass 1 — cost of every candidate as one wide data-parallel graph (no
+    # best-so-far chain serializing 49 steps).
     costs = []
     for dx, dy in deltas:
-        pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
-        sad = jnp.sum(jnp.abs(pred.astype(jnp.int16) - cur16
-                              ).astype(jnp.int32), axis=(1, 2))
+        sad = jnp.sum(jnp.abs(pred_flat(dx, dy) - cur_f).astype(jnp.int32),
+                      axis=1)
         mv_rate = lambda_q * (
             jnp.abs(base_q[:, 0] + dx) + jnp.abs(base_q[:, 1] + dy)
         )
@@ -309,10 +358,10 @@ def refine_subpel(cur, plane_g, plane_b, plane_h, plane_j, mv_full, R, C,
     d_tab = jnp.asarray(deltas, jnp.int32)  # (49, 2)
     best_d = d_tab[best]
     # Pass 2 — rebuild only the winning prediction: sum_k onehot_k * pred_k
-    # (a tree reduction XLA fuses with the recomputed slices; exactly one
-    # term is nonzero per MB).
-    best_pred = jnp.zeros_like(cur)
+    # (exactly one term is nonzero per MB; XLA fuses the recomputed taps).
+    best_pred = jnp.zeros((n, 256), jnp.int16)
     for k, (dx, dy) in enumerate(deltas):
-        pred = interp_ops.subpel_value(wg, wb, wh, wj, dx, dy)
-        best_pred = best_pred + jnp.where((best == k)[:, None, None], pred, 0)
+        best_pred = best_pred + jnp.where((best == k)[:, None],
+                                          pred_flat(dx, dy), 0)
+    best_pred = best_pred.reshape(n, 16, 16).astype(jnp.int32)
     return base_q + best_d, best_pred, best_cost

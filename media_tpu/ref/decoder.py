@@ -201,6 +201,11 @@ class ReferenceDecoder:
                 mb_type = br.ue()
                 if mb_type >= 5:  # intra MB in P slice (7.4.5: type - 5)
                     asm["intra_mb"][r, c] = True
+                    if mb_type == 30:  # I_PCM in P slice (5 + 25)
+                        self._decode_ipcm(br, y, u, v, r, c, luma_nnz,
+                                          chroma_nnz, asm)
+                        mb_idx += 1
+                        continue
                     if mb_type == 5:  # I_4x4 in P
                         if "i4_modes" not in asm:
                             asm["i4_modes"] = np.full(
@@ -228,6 +233,9 @@ class ReferenceDecoder:
                             (n_rows * 4, n_cols * 4), -1, np.int32)
                     self._decode_i4(br, y, u, v, r, c, qp, luma_nnz,
                                     chroma_nnz, n_cols, asm["i4_modes"], r0)
+                elif mb_type == 25:  # I_PCM
+                    self._decode_ipcm(br, y, u, v, r, c, luma_nnz,
+                                      chroma_nnz, asm)
                 else:
                     self._decode_i16(br, y, u, v, r, c, mb_type, qp,
                                      luma_nnz, chroma_nnz, n_cols, r0)
@@ -275,6 +283,28 @@ class ReferenceDecoder:
                 frame.v.astype(np.int32),
             )
         return frame
+
+    # ----------------------------------------------------------------- I_PCM
+
+    def _decode_ipcm(self, br, y, u, v, r, c, luma_nnz, chroma_nnz, asm):
+        """I_PCM macroblock (spec 7.3.5): byte-align, then raw 8-bit samples.
+
+        Neighbor bookkeeping per spec: nC sees an I_PCM neighbor as 16
+        (9.2.1), and its QP is 0 for deblocking threshold purposes (8.7.2).
+        """
+        while not br.byte_aligned():
+            if br.u(1):
+                raise ValueError("nonzero pcm_alignment_zero_bit")
+        ymb = np.frombuffer(br.read_bytes(256), np.uint8).reshape(16, 16)
+        umb = np.frombuffer(br.read_bytes(64), np.uint8).reshape(8, 8)
+        vmb = np.frombuffer(br.read_bytes(64), np.uint8).reshape(8, 8)
+        y[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16] = ymb
+        u[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = umb
+        v[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = vmb
+        luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 16
+        chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 16
+        asm["qp_grid"][r, c] = 0
+        asm["qp_varies"] = True
 
     # ------------------------------------------------------------- intra 16x16
 

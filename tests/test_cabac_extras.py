@@ -231,3 +231,52 @@ def test_reference_operating_point_roundtrip():
     np.testing.assert_array_equal(frames[-1].y, np.asarray(sess.recon[0]))
     np.testing.assert_array_equal(frames[-1].u, np.asarray(sess.recon[1]))
     np.testing.assert_array_equal(frames[-1].v, np.asarray(sess.recon[2]))
+
+
+def test_native_islice_cabac_parser_matches_oracle():
+    """C++ I-slice CABAC parser (csrc/cabac_parse.cpp) vs the Python
+    oracle: identical symbol arrays on I_16x16 and mixed I_4x4 content."""
+    import numpy as np
+
+    from media_tpu import native
+    from media_tpu.entropy.cabac_slice import (
+        parse_islice_cabac, write_islice_cabac,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        R, C = 4, 5
+        mode16 = rng.integers(0, 4, (R, C)).astype(np.int32)
+        cm = rng.integers(0, 4, (R, C)).astype(np.int32)
+        dc = ((rng.integers(0, 3, (R, C, 16)) == 0)
+              * rng.integers(-9, 10, (R, C, 16))).astype(np.int32)
+        ac = ((rng.integers(0, 4, (R, C, 16, 15)) == 0)
+              * rng.integers(-9, 10, (R, C, 16, 15))).astype(np.int32)
+        cdc = ((rng.integers(0, 3, (R, C, 2, 4)) == 0)
+               * rng.integers(-9, 10, (R, C, 2, 4))).astype(np.int32)
+        cac = ((rng.integers(0, 5, (R, C, 2, 4, 15)) == 0)
+               * rng.integers(-9, 10, (R, C, 2, 4, 15))).astype(np.int32)
+        is_i4 = rng.random((R, C)) < (0.5 if trial else 0.0)
+        modes4 = rng.integers(0, 9, (R, C, 16)).astype(np.int32)
+        luma4 = ((rng.integers(0, 4, (R, C, 16, 16)) == 0)
+                 * rng.integers(-9, 10, (R, C, 16, 16))).astype(np.int32)
+        ac[is_i4] = 0
+        dc[is_i4] = 0
+        luma4[~is_i4] = 0
+        modes4[~is_i4] = 0
+        qp = int(rng.integers(20, 40))
+        payload = write_islice_cabac(mode16, cm, dc, ac, cdc, cac, qp,
+                                     is_i4=is_i4, modes4=modes4,
+                                     luma4_levels=luma4)
+        nat = native.cabac_parse_islice_native(payload, 0, R, C, qp)
+        if nat is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        ref = parse_islice_cabac(payload, 0, R, C, qp)
+        for k in ref:
+            if k == "covered":
+                assert ref[k] == nat[k]
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(ref[k]), np.asarray(nat[k]), err_msg=k)

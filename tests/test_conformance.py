@@ -205,3 +205,22 @@ def test_x264_stream_our_decoder_exact():
         np.testing.assert_array_equal(o.y, f[0], err_msg=f"frame {i} luma")
         np.testing.assert_array_equal(o.u, f[1], err_msg=f"frame {i} u")
         np.testing.assert_array_equal(o.v, f[2], err_msg=f"frame {i} v")
+
+
+def test_lossless_roundtrip_ffmpeg_exact():
+    """BASELINE.json north-star clause "bit-exact lossless": the I_PCM
+    lossless mode must reproduce the INPUT samples exactly through an
+    independent decoder (not merely match our own recon)."""
+    from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
+    from media_tpu.utils import yuv
+
+    w, h = 64, 48
+    frames = _smooth(w, h, 7)[:3]
+    sess = EncoderSession(EncoderConfig(width=w, height=h, lossless=True))
+    aus = [sess.encode_frame(yuv.pack_i420(*f)) for f in frames]
+    dec = avref.decode(b"".join(aus))
+    assert len(dec) == len(frames)
+    for (y, u, v), (dy, du, dv) in zip(frames, dec):
+        np.testing.assert_array_equal(y, dy)
+        np.testing.assert_array_equal(u, du)
+        np.testing.assert_array_equal(v, dv)

@@ -393,10 +393,25 @@ void skip_mv(const int32_t* mv, int R, int C, int r, int c, int* px, int* py) {
 
 }  // namespace
 
+// mb_qp_delta (spec 9.3.2.7): signed map to k, U binarization; ctxIdxInc
+// bin0 = (prev mb_qp_delta != 0), bin1 -> +2, bins >= 2 -> +3.
+static void enc_qp_delta(Enc& e, Ctx& ctx, int delta, int prev_delta) {
+  int k = delta > 0 ? 2 * delta - 1 : -2 * delta;
+  int ctx0 = MB_QP_DELTA + (prev_delta ? 1 : 0);
+  if (k == 0) {
+    e.encode_bin(ctx, ctx0, 0);
+    return;
+  }
+  e.encode_bin(ctx, ctx0, 1);
+  for (int i = 1; i < k; i++)
+    e.encode_bin(ctx, MB_QP_DELTA + (i == 1 ? 2 : 3), 1);
+  e.encode_bin(ctx, MB_QP_DELTA + (k == 1 ? 2 : 3), 0);
+}
+
 extern "C" int64_t mtpu_cabac_write_slice_p(
     const int32_t* mv, const int32_t* luma, const int32_t* cdc,
     const int32_t* cac, int R, int C, int qp, const int32_t* init_mn,
-    uint8_t* out, int64_t cap) {
+    const int32_t* qp_map, uint8_t* out, int64_t cap) {
   Ctx ctx;
   ctx.init(qp, init_mn);
   Enc e;
@@ -404,6 +419,7 @@ extern "C" int64_t mtpu_cabac_write_slice_p(
   std::vector<int8_t> skip_map((size_t)R * C, 0);
   std::vector<int32_t> cbp_map((size_t)R * C, -1);
   std::vector<int32_t> mvd((size_t)R * C * 2, 0);
+  int cur_qp = qp, prev_delta = 0;
 
   for (int r = 0; r < R; r++) {
     for (int c = 0; c < C; c++) {
@@ -452,6 +468,7 @@ extern "C" int64_t mtpu_cabac_write_slice_p(
               st.Ch(comp, r * 2 + dy, c * 2 + dx) = 0;
         }
         cbp_map[mb] = 0;
+        prev_delta = 0;  // skip MBs carry an inferred delta of 0
         e.encode_terminate(last_mb ? 1 : 0);
         continue;
       }
@@ -487,7 +504,22 @@ extern "C" int64_t mtpu_cabac_write_slice_p(
       enc_cbp(e, ctx, cbp_luma, cbp_chroma, cbp_l_a, cbp_l_b, cbp_c_a,
               cbp_c_b);
       cbp_map[mb] = cbp;
-      if (cbp) e.encode_bin(ctx, MB_QP_DELTA, 0);
+      if (cbp) {
+        if (qp_map == nullptr) {
+          enc_qp_delta(e, ctx, 0, prev_delta);
+          prev_delta = 0;
+        } else {
+          int want = qp_map[mb];
+          int delta = want - cur_qp;
+          if (delta > 25) delta -= 52;       // mod-52 wrap (spec 7.4.5)
+          else if (delta < -26) delta += 52;
+          enc_qp_delta(e, ctx, delta, prev_delta);
+          prev_delta = delta;
+          cur_qp = want;
+        }
+      } else {
+        prev_delta = 0;
+      }
       for (int g8 = 0; g8 < 4; g8++) {
         if (!((cbp_luma >> g8) & 1)) {
           for (int k = 0; k < 4; k++) {

@@ -276,7 +276,8 @@ extern "C" {
 int64_t mtpu_cabac_parse_slice_p(const uint8_t* data, int64_t nbytes,
                                  int64_t bitpos, int R, int C, int qp,
                                  const int32_t* init_mn, int32_t* mv,
-                                 int32_t* luma, int32_t* cdc, int32_t* cac) {
+                                 int32_t* luma, int32_t* cdc, int32_t* cac,
+                                 int32_t* qp_map) {
   Ctx ctx;
   ctx.init(qp, init_mn);
   Dec d;
@@ -295,6 +296,19 @@ int64_t mtpu_cabac_parse_slice_p(const uint8_t* data, int64_t nbytes,
   std::vector<int8_t> cdcgrid((size_t)2 * R * C, 0);
   MvPred pred{mv, C};
   bool err = false;
+  int cur_qp = qp, prev_delta = 0;
+
+  // mb_qp_delta decode (spec 9.3.2.7): U binarization; ctxIdxInc bin0 =
+  // (prev mb_qp_delta != 0), bin1 -> +2, bins >= 2 -> +3.
+  auto dec_qp_delta = [&]() -> int {
+    int ctx0 = MB_QP_DELTA + (prev_delta ? 1 : 0);
+    if (!d.decode_bin(ctx, ctx0)) return 0;
+    int k = 1;
+    while (d.decode_bin(ctx, MB_QP_DELTA + (k == 1 ? 2 : 3))) {
+      if (++k > 52) { err = true; return 0; }
+    }
+    return (k & 1) ? (k + 1) >> 1 : -(k >> 1);
+  };
 
   auto inc_luma = [&](int by, int bx) {
     int a = bx > 0 ? lgrid[by * C * 4 + bx - 1] : 0;
@@ -324,6 +338,8 @@ int64_t mtpu_cabac_parse_slice_p(const uint8_t* data, int64_t nbytes,
         mv[mb * 2 + 1] = sy;
         skip_map[mb] = 1;
         cbp_map[mb] = 0;
+        if (qp_map) qp_map[mb] = cur_qp;
+        prev_delta = 0;
         if (d.decode_terminate()) return mb + 1;
         continue;
       }
@@ -360,8 +376,16 @@ int64_t mtpu_cabac_parse_slice_p(const uint8_t* data, int64_t nbytes,
       dec_cbp(d, ctx, la, lb, ca, cb, &cbp_luma, &cbp_chroma);
       cbp_map[mb] = cbp_luma | (cbp_chroma << 4);
       if (cbp_luma || cbp_chroma) {
-        if (d.decode_bin(ctx, MB_QP_DELTA)) return -2;  // per-MB QP
+        int delta = dec_qp_delta();
+        if (err) return -1;
+        prev_delta = delta;
+        cur_qp += delta;
+        if (cur_qp < 0) cur_qp += 52;       // spec 7.4.5 mod-52 wrap
+        else if (cur_qp > 51) cur_qp -= 52;
+      } else {
+        prev_delta = 0;
       }
+      if (qp_map) qp_map[mb] = cur_qp;
       int32_t* lv = luma + (size_t)mb * 256;
       for (int g8 = 0; g8 < 4; g8++) {
         if (!((cbp_luma >> g8) & 1)) {

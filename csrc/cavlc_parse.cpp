@@ -24,7 +24,7 @@
 extern "C" int64_t mtpu_cabac_write_slice_p(
     const int32_t* mv, const int32_t* luma, const int32_t* cdc,
     const int32_t* cac, int R, int C, int qp, const int32_t* init_mn,
-    uint8_t* out, int64_t cap);
+    const int32_t* qp_map, uint8_t* out, int64_t cap);
 
 namespace {
 
@@ -448,8 +448,11 @@ int64_t mtpu_transcode_pslice(const uint8_t* data, int64_t nbits,
   int64_t ret = mtpu_parse_slice_p(data, nbits, bitpos, R, C, qp, mv, luma,
                                    cdc, cac, qp_map);
   if (ret == n_mb) {
+    // Pass the parsed per-MB QP map through: for uniform-QP slices every
+    // delta re-encodes as 0 (bitstream unchanged); adaptive-QP CAVLC
+    // slices transcode to CABAC with their QP map intact.
     ret = mtpu_cabac_write_slice_p(mv, luma, cdc, cac, R, C, qp, init_mn,
-                                   out, cap);
+                                   qp_map, out, cap);
   } else if (ret >= 0) {
     ret = -3;  // slice did not cover the full picture
   }

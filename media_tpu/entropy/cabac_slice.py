@@ -317,11 +317,41 @@ def _chroma_blocks(enc_or_dec, ctx, st, r, c, cbp_chroma, cdc_rc, cac_rc,
         st.chroma[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
 
 
+def _enc_qp_delta(enc, ctx, delta: int, prev_delta: int) -> None:
+    """mb_qp_delta (spec 9.3.2.7): signed map to k, then U binarization;
+    ctxIdxInc: bin0 = (prev mb_qp_delta != 0), bin1 -> +2, bins >= 2 -> +3."""
+    k = 2 * delta - 1 if delta > 0 else -2 * delta
+    ctx0 = cc.MB_QP_DELTA + (1 if prev_delta else 0)
+    if k == 0:
+        enc.encode_bin(ctx, ctx0, 0)
+        return
+    enc.encode_bin(ctx, ctx0, 1)
+    for i in range(1, k):
+        enc.encode_bin(ctx, cc.MB_QP_DELTA + (2 if i == 1 else 3), 1)
+    enc.encode_bin(ctx, cc.MB_QP_DELTA + (2 if k == 1 else 3), 0)
+
+
+def _dec_qp_delta(dec, ctx, prev_delta: int) -> int:
+    ctx0 = cc.MB_QP_DELTA + (1 if prev_delta else 0)
+    if not dec.decode_bin(ctx, ctx0):
+        return 0
+    k = 1
+    while dec.decode_bin(ctx, cc.MB_QP_DELTA + (2 if k == 1 else 3)):
+        k += 1
+        if k > 52:
+            raise ValueError("corrupt mb_qp_delta")
+    return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
 def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
                        qp: int, cabac_init_idc: int = 0,
-                       stats=None) -> bytes:
+                       stats=None, qp_map=None) -> bytes:
     """P-slice slice_data as CABAC RBSP payload (caller handles the slice
-    header and the cabac_alignment_one_bit padding before it)."""
+    header and the cabac_alignment_one_bit padding before it).
+
+    qp_map: optional (R, C) per-MB luma QP (adaptive quantization); deltas
+    vs the running QP (starting at `qp`) are coded as mb_qp_delta on every
+    cbp != 0 MB, the CAVLC twin's policy (slice_coder.write_pslice_mbs)."""
     R, C = mv.shape[:2]
     ctx = cc.ContextModels(qp, cabac_init_idc, slice_type="P")
     enc = CabacEncoder()
@@ -331,6 +361,8 @@ def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
     mvd_map: dict = {}
     skip_map = np.zeros((R, C), bool)
     cbp_map = np.full((R, C), -1, np.int32)  # -1 = unavailable/skip(0)
+    cur_qp = qp
+    prev_delta = 0
 
     for r in range(R):
         for c in range(C):
@@ -352,6 +384,7 @@ def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
                 st.chroma[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
                 st.chroma_dc[:, r, c] = 0
                 cbp_map[r, c] = 0
+                prev_delta = 0  # skip MBs carry an inferred delta of 0
                 enc.encode_terminate(1 if last_mb else 0)  # end_of_slice_flag
                 continue
             # mb_type P_L0_16x16: bins 0,0,0 (ctx 14, 15, 16)
@@ -375,8 +408,21 @@ def write_pslice_cabac(mv, luma_levels, cdc_levels, cac_levels,
                      cbp_c_a, cbp_c_b)
             cbp_map[r, c] = cbp
             if cbp:
-                # mb_qp_delta == 0: single 0 bin; prev delta is always 0 here.
-                enc.encode_bin(ctx, cc.MB_QP_DELTA, 0)
+                if qp_map is None:
+                    _enc_qp_delta(enc, ctx, 0, prev_delta)
+                    prev_delta = 0
+                else:
+                    want = int(qp_map[r, c])
+                    delta = want - cur_qp
+                    if delta > 25:
+                        delta -= 52  # mod-52 wrap (spec 7.4.5)
+                    elif delta < -26:
+                        delta += 52
+                    _enc_qp_delta(enc, ctx, delta, prev_delta)
+                    prev_delta = delta
+                    cur_qp = want
+            else:
+                prev_delta = 0
             for g8 in range(4):
                 blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
                 if not (cbp_luma >> g8) & 1:
@@ -409,6 +455,9 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
     mvd_map: dict = {}
     skip_map = np.zeros((R, C), bool)
     cbp_map = np.full((R, C), -1, np.int32)
+    qp_map = np.full((R, C), qp, np.int32)
+    cur_qp = qp
+    prev_delta = 0
 
     for r in range(R):
         for c in range(C):
@@ -422,8 +471,11 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
                 mvd_map[(r, c)] = (0, 0)
                 skip_map[r, c] = True
                 cbp_map[r, c] = 0
+                qp_map[r, c] = cur_qp
+                prev_delta = 0
                 if dec.decode_terminate():
-                    return _psymbols(mv, luma, cdc, cac, r * C + c + 1)
+                    return _psymbols(mv, luma, cdc, cac, r * C + c + 1,
+                                     qp_map)
                 continue
             b0 = dec.decode_bin(ctx, cc.MB_TYPE_P)
             if b0:
@@ -449,8 +501,17 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
                                             cbp_c_a, cbp_c_b)
             cbp_map[r, c] = cbp_luma | (cbp_chroma << 4)
             if cbp_luma or cbp_chroma:
-                if dec.decode_bin(ctx, cc.MB_QP_DELTA):
-                    raise ValueError("mb_qp_delta != 0 unsupported")
+                delta = _dec_qp_delta(dec, ctx, prev_delta)
+                prev_delta = delta
+                cur_qp += delta
+                # spec 7.4.5: QPy wraps mod 52 into [0, 51]
+                if cur_qp < 0:
+                    cur_qp += 52
+                elif cur_qp > 51:
+                    cur_qp -= 52
+            else:
+                prev_delta = 0
+            qp_map[r, c] = cur_qp
             for g8 in range(4):
                 blks = [int(ZSCAN_TO_RASTER[g8 * 4 + k]) for k in range(4)]
                 if not (cbp_luma >> g8) & 1:
@@ -465,13 +526,13 @@ def parse_pslice_cabac(data: bytes, bitpos: int, R: int, C: int, qp: int,
             _chroma_blocks(dec, ctx, st, r, c, cbp_chroma,
                            cdc[r, c], cac[r, c], write=False)
             if dec.decode_terminate():
-                return _psymbols(mv, luma, cdc, cac, r * C + c + 1)
-    return _psymbols(mv, luma, cdc, cac, R * C)
+                return _psymbols(mv, luma, cdc, cac, r * C + c + 1, qp_map)
+    return _psymbols(mv, luma, cdc, cac, R * C, qp_map)
 
 
-def _psymbols(mv, luma, cdc, cac, covered=None):
+def _psymbols(mv, luma, cdc, cac, covered=None, qp_map=None):
     return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
-            "cac_levels": cac, "covered": covered}
+            "cac_levels": cac, "covered": covered, "qp_map": qp_map}
 
 
 # ------------------------------------------------------------------ I slices

@@ -122,7 +122,7 @@ def _load():
             lib.mtpu_cabac_parse_slice_p.argtypes = [
                 u8p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                i32p, i32p, i32p, i32p, i32p,
+                i32p, i32p, i32p, i32p, i32p, i32p,
             ]
         if hasattr(lib, "mtpu_cabac_parse_slice_i"):
             lib.mtpu_cabac_parse_slice_i.restype = ctypes.c_int64
@@ -135,7 +135,7 @@ def _load():
             lib.mtpu_cabac_write_slice_p.restype = ctypes.c_int64
             lib.mtpu_cabac_write_slice_p.argtypes = [
                 i32p, i32p, i32p, i32p,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p,
                 u8p, ctypes.c_int64,
             ]
             lib.mtpu_cabac_write_slice_i.restype = ctypes.c_int64
@@ -272,10 +272,12 @@ def build_capi() -> str | None:
 
 
 def cabac_write_pslice_native(mv, luma, cdc, cac, qp: int,
-                              cabac_init_idc: int = 0) -> bytes | None:
+                              cabac_init_idc: int = 0,
+                              qp_map=None) -> bytes | None:
     """CABAC P-slice payload via the C++ packer; None -> caller falls back
     to the Python coder. Byte-identical to
-    entropy.cabac_slice.write_pslice_cabac (tests)."""
+    entropy.cabac_slice.write_pslice_cabac (tests). qp_map: optional
+    (R, C) per-MB QP (mb_qp_delta coding on cbp != 0 MBs)."""
     lib = _load()
     if lib is None or not hasattr(lib, "mtpu_cabac_write_slice_p"):
         return None
@@ -290,8 +292,12 @@ def cabac_write_pslice_native(mv, luma, cdc, cac, qp: int,
         holders.append(arr)
         ptrs.append(p)
     init, init_p = _i32(INIT_MN_P[int(np.clip(cabac_init_idc, 0, 2))])
+    if qp_map is not None:
+        qarr, q_p = _i32(qp_map)
+    else:
+        qarr, q_p = None, None
     n = lib.mtpu_cabac_write_slice_p(
-        *ptrs, R, C, int(qp), init_p,
+        *ptrs, R, C, int(qp), init_p, q_p,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         return None
@@ -435,14 +441,16 @@ def cabac_parse_pslice_native(data: bytes, bitpos: int, R: int, C: int,
     luma = np.zeros((R, C, 16, 16), np.int32)
     cdc = np.zeros((R, C, 2, 4), np.int32)
     cac = np.zeros((R, C, 2, 4, 15), np.int32)
+    qp_map = np.full((R, C), int(qp), np.int32)
     src = np.frombuffer(data, np.uint8)
     i32 = ctypes.POINTER(ctypes.c_int32)
     n = lib.mtpu_cabac_parse_slice_p(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
         bitpos, R, C, int(qp), init_p,
         mv.ctypes.data_as(i32), luma.ctypes.data_as(i32),
-        cdc.ctypes.data_as(i32), cac.ctypes.data_as(i32))
+        cdc.ctypes.data_as(i32), cac.ctypes.data_as(i32),
+        qp_map.ctypes.data_as(i32))
     if n < 0:
         return None
     return {"mv": mv, "luma_levels": luma, "cdc_levels": cdc,
-            "cac_levels": cac, "covered": int(n)}
+            "cac_levels": cac, "covered": int(n), "qp_map": qp_map}

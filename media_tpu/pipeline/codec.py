@@ -61,8 +61,9 @@ class EncoderConfig:
     insert_sei: bool = False
     # CABAC entropy coding (spec 9.3; the reference's actual operating point:
     # VideoEncoderOpenH264.cpp:291 sets iEntropyCodingModeFlag = 1). Forces
-    # main profile and host-side entropy packing; see entropy/cabac_*.py.
-    # Supported with rc_mode="cq" today.
+    # main profile; composes with rc_mode="cbr" (device CAVLC rate loop +
+    # C++ CAVLC->CABAC transcode) and adaptive_qp (per-MB mb_qp_delta rides
+    # through the transcode); see entropy/cabac_*.py.
     cabac: bool = False
     # I_4x4 intra prediction (9 directional modes, per-MB I4x4/I16 decision)
     # in I frames — the biggest intra quality lever below 16x16 granularity.
@@ -507,7 +508,8 @@ class EncoderSession:
         cap = self._device_cap()
         streams_d, bits_d, qps_d, recon, new_rc = enc.encode_pframes_cbr_dev(
             ys_d, us_d, vs_d, prev_recon, rc_in, int(self._rc_target),
-            bits_scale=scale_used, deblock=cfg.deblock, cap=cap)
+            bits_scale=scale_used, deblock=cfg.deblock,
+            adaptive_qp=cfg.adaptive_qp, cap=cap)
         self.recon = tuple(recon)
         self._rc_dev = new_rc
         frame_base = self.frame_idx
@@ -527,7 +529,8 @@ class EncoderSession:
                     enc.encode_pframes_cbr_dev(
                         ys_d, us_d, vs_d, prev_recon, rc_in,
                         int(self._rc_target), bits_scale=scale_used,
-                        deblock=cfg.deblock, cap=enc.cap_words))
+                        deblock=cfg.deblock, adaptive_qp=cfg.adaptive_qp,
+                        cap=enc.cap_words))
                 self.recon = tuple(recon2)
                 self._rc_dev = new_rc2
                 streams_d, bits_d, qps_d, new_rc = (
@@ -589,7 +592,8 @@ class EncoderSession:
             payload = write_pslice_cabac(
                 sym["mv"], sym["luma_levels"], sym["cdc_levels"],
                 sym["cac_levels"], qp,
-                cabac_init_idc=self.cfg.cabac_init_idc)
+                cabac_init_idc=self.cfg.cabac_init_idc,
+                qp_map=sym["qp_map"])
         bw = self._pslice_header_writer(qp, frame_idx=frame_idx)
         while not bw.byte_aligned():
             bw.u(1, 1)  # cabac_alignment_one_bit (7.3.4)

@@ -659,7 +659,8 @@ class TpuDecoder:
 
                     sym = parse_pslice_cabac(rbsp, pos, n_avail, C, qp,
                                              hdr.cabac_init_idc)
-                sym["qp_map"] = np.full((n_avail, C), qp, np.int32)
+                if sym.get("qp_map") is None:
+                    sym["qp_map"] = np.full((n_avail, C), qp, np.int32)
             else:
                 sym = None
                 from .. import native

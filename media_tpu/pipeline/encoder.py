@@ -707,19 +707,22 @@ class FrameEncoder:
                                qp_min: int = 12, qp_max: int = 44,
                                search_range: int = 8,
                                deblock: bool = False,
+                               adaptive_qp: bool = False,
                                cap: int | None = None):
         """Device-resident CBR batch with a bit-size scale on the rate
         feedback: the scan integrates device-CAVLC bits x `bits_scale` (the
         session's running CABAC/CAVLC ratio when the emitted entropy is
         CABAC via host transcode; 1.0 for plain CAVLC). Returns device
         arrays (streams, bits, qps, recon, rc) — downloads are the caller's,
-        so they overlap the next chunk's compute."""
+        so they overlap the next chunk's compute. adaptive_qp composes with
+        the transcode path: the device CAVLC pack carries the per-MB QP map
+        as mb_qp_delta, and the C++ transcoder re-emits it in CABAC."""
         return self._encode_pbatch_cbr_device(
             ys_d, us_d, vs_d, *ref,
             jnp.float32(rc_state["qp"]), jnp.float32(rc_state["buf"]),
             jnp.float32(rc_state["cplx"]),
             float(target_bits_per_frame), qp_min, qp_max, search_range,
-            deblock, False, cap or self.cap_words,
+            deblock, adaptive_qp, cap or self.cap_words,
             bits_scale=jnp.float32(bits_scale))
 
     @functools.partial(jax.jit, static_argnums=(0, 10, 11, 12, 13, 14, 15, 16))

@@ -280,3 +280,49 @@ def test_native_islice_cabac_parser_matches_oracle():
             else:
                 np.testing.assert_array_equal(
                     np.asarray(ref[k]), np.asarray(nat[k]), err_msg=k)
+
+
+def test_cabac_qp_delta_roundtrip_and_native_parity():
+    """mb_qp_delta through CABAC: Python write/parse round-trip and C++
+    writer/parser byte- and symbol-parity on an adaptive-QP slice."""
+    import numpy as np
+
+    from media_tpu import native
+    from media_tpu.entropy.cabac_slice import (
+        parse_pslice_cabac, write_pslice_cabac,
+    )
+
+    rng = np.random.default_rng(3)
+    R, C = 5, 7
+    mv = rng.integers(-12, 13, (R, C, 2)).astype(np.int32)
+    luma = ((rng.integers(0, 5, (R, C, 16, 16)) == 0)
+            * rng.integers(-8, 9, (R, C, 16, 16))).astype(np.int32)
+    zero = rng.random((R, C)) < 0.3
+    luma[zero] = 0
+    mv[zero] = 0
+    cdc = ((rng.integers(0, 4, (R, C, 2, 4)) == 0)
+           * rng.integers(-8, 9, (R, C, 2, 4))).astype(np.int32)
+    cac = ((rng.integers(0, 7, (R, C, 2, 4, 15)) == 0)
+           * rng.integers(-8, 9, (R, C, 2, 4, 15))).astype(np.int32)
+    cdc[zero] = 0
+    cac[zero] = 0
+    qp = 28
+    qp_map = np.clip(qp + rng.integers(-3, 4, (R, C)), 0, 51).astype(np.int32)
+    py = write_pslice_cabac(mv, luma, cdc, cac, qp, cabac_init_idc=1,
+                            qp_map=qp_map)
+    nat = native.cabac_write_pslice_native(mv, luma, cdc, cac, qp,
+                                           cabac_init_idc=1, qp_map=qp_map)
+    if nat is not None:
+        assert nat == py
+    sym = parse_pslice_cabac(py, 0, R, C, qp, cabac_init_idc=1)
+    np.testing.assert_array_equal(sym["mv"], mv)
+    np.testing.assert_array_equal(sym["luma_levels"], luma)
+    # decoder-visible QP: deltas only coded on cbp != 0 MBs; others keep
+    # the running QP — verify coded MBs land on the requested map.
+    coded = (luma.any((2, 3)) | cdc.any((2, 3)) | cac.any((2, 3, 4)))
+    np.testing.assert_array_equal(sym["qp_map"][coded], qp_map[coded])
+    natp = native.cabac_parse_pslice_native(py, 0, R, C, qp,
+                                            cabac_init_idc=1)
+    if natp is not None:
+        for k in ("mv", "luma_levels", "cdc_levels", "cac_levels", "qp_map"):
+            np.testing.assert_array_equal(natp[k], sym[k], err_msg=k)

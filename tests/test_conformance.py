@@ -224,3 +224,19 @@ def test_lossless_roundtrip_ffmpeg_exact():
         np.testing.assert_array_equal(y, dy)
         np.testing.assert_array_equal(u, du)
         np.testing.assert_array_equal(v, dv)
+
+
+def test_cabac_adaptive_qp_cbr_ffmpeg_exact():
+    """CABAC + CBR + per-MB adaptive QP in ONE stream: mb_qp_delta coded
+    through the CABAC path (device CAVLC pack carries the QP map; the C++
+    transcoder re-emits it as CABAC mb_qp_delta, spec 9.3.2.7)."""
+    from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
+    from media_tpu.utils import yuv
+
+    w, h = 64, 48
+    frames = _smooth(w, h, 11)
+    sess = EncoderSession(EncoderConfig(
+        width=w, height=h, qp=28, gop_size=30, deblock=True, cabac=True,
+        adaptive_qp=True, rc_mode="cbr", bitrate=300_000, framerate=30))
+    aus = [sess.encode_frame(yuv.pack_i420(*f)) for f in frames]
+    _assert_ffmpeg_exact(sess, aus, frames, w, h)

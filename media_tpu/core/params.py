@@ -33,8 +33,12 @@ KEY_FORCE_KEYFRAME = "persist.vmi.video.encode.keyframe"
 # placement, "0" disables, unset = auto (real backend with >1 device).
 KEY_MULTICHIP = "media.tpu.multichip"
 
-# Validation envelope (reference: VideoEncoderOpenH264.cpp:16-23,159-195).
-MIN_DIM, MAX_DIM = 16, 4096
+# Validation envelope. The SW reference caps dimensions at 4096
+# (VideoEncoderOpenH264.cpp:16-23,159-195); the HW parameter envelope goes
+# to 8192 (vendor/netint/ni_device_api.h:100-103) and the TPU backend has
+# no 4K limit (8K = 32 GB/s of uint8 planes at 60 fps, well inside HBM
+# bandwidth), so the wider HW envelope is adopted.
+MIN_DIM, MAX_DIM = 16, 8192
 VALID_FPS = (30, 60)
 MIN_BITRATE, MAX_BITRATE = 1_000_000, 10_000_000
 MIN_GOP, MAX_GOP = 30, 3000

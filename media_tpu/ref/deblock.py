@@ -174,15 +174,23 @@ def deblock_frame_np(y, u, v, qp, qp_c, bs_v, bs_h, qp_map=None):
             np.clip(v, 0, 255).astype(np.uint8))
 
 
-def inter_bs_grids_np(nnz_blk, mv_qpel, intra_mb=None):
+def inter_bs_grids_np(nnz_blk, mv_qpel, intra_mb=None, mv4=None, ref4=None):
     """Numpy twin of ops.deblock.inter_bs_grids.
 
     intra_mb: optional (R, C) bool grid of intra-coded MBs inside the P
     picture (spec 8.7.2.1: an edge with an intra neighbor takes bS 4 on MB
     edges, 3 inside the MB — our own encoder never emits intra-in-P, but
-    conformant third-party streams do; caught by test_conformance)."""
+    conformant third-party streams do; caught by test_conformance).
+
+    mv4/ref4: optional 4x4-granular (R4, C4, 2) MV and (R4, C4) refIdx
+    grids (partitioned / multi-reference streams); when given they replace
+    the MB-level mv_qpel, and an edge whose sides use different reference
+    pictures takes bS >= 1 (8.7.2.1)."""
     nz = (nnz_blk > 0).astype(np.int32)
-    mv_blk = np.repeat(np.repeat(mv_qpel, 4, axis=0), 4, axis=1)
+    if mv4 is not None:
+        mv_blk = np.asarray(mv4)
+    else:
+        mv_blk = np.repeat(np.repeat(mv_qpel, 4, axis=0), 4, axis=1)
     intra_blk = (None if intra_mb is None or not np.any(intra_mb)
                  else np.repeat(np.repeat(np.asarray(intra_mb, bool), 4, 0),
                                 4, 1))
@@ -192,6 +200,9 @@ def inter_bs_grids_np(nnz_blk, mv_qpel, intra_mb=None):
         coded = (nz | nz_n) > 0
         mv_n = np.roll(mv_blk, 1, axis=axis)
         far = np.any(np.abs(mv_blk - mv_n) >= 4, axis=-1)
+        if ref4 is not None:
+            far = far | (np.asarray(ref4) != np.roll(np.asarray(ref4), 1,
+                                                     axis=axis))
         bs = np.where(coded, 2, np.where(far, 1, 0)).astype(np.int32)
         if intra_blk is not None:
             either = intra_blk | np.roll(intra_blk, 1, axis=axis)

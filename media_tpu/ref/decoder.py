@@ -104,6 +104,79 @@ class DecodedFrame:
     idr: bool
 
 
+class _PMotion:
+    """Slice-local 4x4-granular motion state for general P-MB decoding.
+
+    Carries per-block MV and refIdx grids (spec 8.4.1.3 operates at 4x4
+    granularity once partitions exist) plus a decoded mask that realizes
+    6.4.11.7 neighbor availability in decoding order — within an MB, a
+    sub-partition's above-right neighbor may be a not-yet-decoded block of
+    the same MB, which makes it unavailable and triggers the D
+    substitution. mv4/ref4 alias the picture-level grids (deblocking bS
+    derivation reads them); `done` is slice-local."""
+
+    def __init__(self, mv4, ref4, r0):
+        self.mv4 = mv4
+        self.ref4 = ref4
+        self.C4 = mv4.shape[1]
+        self.y_min = 4 * r0
+        self.done = np.zeros(mv4.shape[:2], bool)
+
+    def nb(self, gy, gx):
+        """(available, refIdx, mv) of the 4x4 block at (gy, gx)."""
+        if (gy < self.y_min or gx < 0 or gx >= self.C4
+                or not self.done[gy, gx]):
+            return False, -1, (0, 0)
+        return (True, int(self.ref4[gy, gx]),
+                (int(self.mv4[gy, gx, 0]), int(self.mv4[gy, gx, 1])))
+
+    def predict(self, gy0, gx0, w4, ref_idx, shape=None):
+        """mvp for the partition whose top-left 4x4 block is (gy0, gx0),
+        w4 blocks wide (8.4.1.3.2). shape: None, ('16x8', part) or
+        ('8x16', part) for the directional special cases."""
+        A = self.nb(gy0, gx0 - 1)
+        B = self.nb(gy0 - 1, gx0)
+        D = self.nb(gy0 - 1, gx0 - 1)
+        Cn = self.nb(gy0 - 1, gx0 + w4)
+        if not Cn[0]:
+            Cn = D  # D substitutes for C (6.4.11.7)
+        if shape == ("16x8", 0) and B[1] == ref_idx:
+            return B[2]
+        if shape == ("16x8", 1) and A[1] == ref_idx:
+            return A[2]
+        if shape == ("8x16", 0) and A[1] == ref_idx:
+            return A[2]
+        if shape == ("8x16", 1) and Cn[1] == ref_idx:
+            return Cn[2]
+        if A[0] and not B[0] and not Cn[0]:
+            return A[2]  # only-A rule (B, C, D unavailable)
+        matches = [N[2] for N in (A, B, Cn) if N[1] == ref_idx]
+        if len(matches) == 1:
+            return matches[0]
+        m3 = mv_pred.median3
+        return (m3(A[2][0], B[2][0], Cn[2][0]),
+                m3(A[2][1], B[2][1], Cn[2][1]))
+
+    def skip_mv(self, r, c):
+        """P_Skip inference (8.4.1.1): 16x16 partition with refIdx 0."""
+        gy0, gx0 = r * 4, c * 4
+        A = self.nb(gy0, gx0 - 1)
+        B = self.nb(gy0 - 1, gx0)
+        if (not A[0] or not B[0]
+                or (A[1] == 0 and A[2] == (0, 0))
+                or (B[1] == 0 and B[2] == (0, 0))):
+            return (0, 0)
+        return self.predict(gy0, gx0, 4, 0)
+
+    def set_region(self, gy0, gx0, h4, w4, mv, ref_idx):
+        self.mv4[gy0 : gy0 + h4, gx0 : gx0 + w4] = mv
+        self.ref4[gy0 : gy0 + h4, gx0 : gx0 + w4] = ref_idx
+        self.done[gy0 : gy0 + h4, gx0 : gx0 + w4] = True
+
+    def set_intra(self, r, c):
+        self.set_region(r * 4, c * 4, 4, 4, (0, 0), -1)
+
+
 @dataclass
 class ReferenceDecoder:
     """Stateful Annex-B stream decoder."""
@@ -112,6 +185,9 @@ class ReferenceDecoder:
     pps: PPS | None = None
     ref_planes: tuple | None = None  # (y, u, v) of last decoded reference
     frames: list = field(default_factory=list)
+    # Decoded picture buffer, most-recent-first (sliding-window marking,
+    # spec 8.2.5.3): P ref list 0 is this order (descending PicNum).
+    dpb: list = field(default_factory=list)
 
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         out = []
@@ -160,7 +236,8 @@ class ReferenceDecoder:
                 "v": np.zeros((H // 2, W // 2), np.int32),
                 "luma_nnz": np.zeros((n_rows * 4, n_cols * 4), np.int32),
                 "chroma_nnz": np.zeros((2, n_rows * 2, n_cols * 2), np.int32),
-                "mv_grid": np.zeros((n_rows, n_cols, 2), np.int32),
+                "mv4": np.zeros((n_rows * 4, n_cols * 4, 2), np.int32),
+                "ref4": np.full((n_rows * 4, n_cols * 4), -1, np.int32),
                 "intra_mb": np.zeros((n_rows, n_cols), bool),
                 "qp_grid": np.full((n_rows, n_cols), qp, np.int32),
                 "qp_varies": False,
@@ -174,14 +251,21 @@ class ReferenceDecoder:
         luma_nnz, chroma_nnz = asm["luma_nnz"], asm["chroma_nnz"]
 
         if hdr.is_p:
-            if self.ref_planes is None:
+            if not self.dpb and self.ref_planes is not None:
+                # Session resumed with externally-seeded reference planes
+                # (decoder_api fallback handoff).
+                self.dpb = [self.ref_planes]
+            if not self.dpb:
                 raise ValueError("P slice without reference frame")
-            ref_y, ref_u, ref_v = self.ref_planes
+            nref = max(1, hdr.num_ref_idx_l0_active)
+            ref_list = list(self.dpb[:nref])
+            while len(ref_list) < nref:  # degenerate: clamp to what exists
+                ref_list.append(ref_list[-1])
 
         mb_idx = hdr.first_mb_in_slice
         r0 = mb_idx // n_cols  # row-aligned slices
         asm["slice_starts"].append(r0)
-        pred_mv = {}  # (r - r0, c) -> qpel MV, slice-local
+        motion = (_PMotion(asm["mv4"], asm["ref4"], r0) if hdr.is_p else None)
         qp_state = [qp, False]  # [running per-MB QP, any delta seen]
         start_idx = mb_idx
         while mb_idx < mb_count and (mb_idx == start_idx or br.more_rbsp_data()):
@@ -189,8 +273,7 @@ class ReferenceDecoder:
                 skip_run = br.ue()  # mb_skip_run precedes each coded MB
                 for _ in range(skip_run):
                     r, c = divmod(mb_idx, n_cols)
-                    self._decode_p_skip(y, u, v, ref_y, ref_u, ref_v, r, c,
-                                        n_cols, pred_mv, r0, asm["mv_grid"])
+                    self._decode_p_skip(y, u, v, ref_list[0], r, c, motion)
                     luma_nnz[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = 0
                     chroma_nnz[:, r * 2 : r * 2 + 2, c * 2 : c * 2 + 2] = 0
                     asm["qp_grid"][r, c] = qp_state[0]
@@ -201,6 +284,7 @@ class ReferenceDecoder:
                 mb_type = br.ue()
                 if mb_type >= 5:  # intra MB in P slice (7.4.5: type - 5)
                     asm["intra_mb"][r, c] = True
+                    motion.set_intra(r, c)
                     if mb_type == 30:  # I_PCM in P slice (5 + 25)
                         self._decode_ipcm(br, y, u, v, r, c, luma_nnz,
                                           chroma_nnz, asm)
@@ -218,9 +302,10 @@ class ReferenceDecoder:
                                          qp_state[0], luma_nnz, chroma_nnz,
                                          n_cols, r0)
                 else:
-                    self._decode_p16(br, y, u, v, ref_y, ref_u, ref_v, r, c,
-                                     mb_type, qp_state, luma_nnz, chroma_nnz,
-                                     n_cols, pred_mv, r0, asm["mv_grid"])
+                    self._decode_p_inter(br, y, u, v, ref_list, r, c,
+                                         mb_type, qp_state, luma_nnz,
+                                         chroma_nnz, n_cols, motion,
+                                         len(ref_list), r0)
                 asm["qp_grid"][r, c] = qp_state[0]
                 asm["qp_varies"] = asm["qp_varies"] or qp_state[1]
                 mb_idx += 1
@@ -254,8 +339,10 @@ class ReferenceDecoder:
 
             qp_c = self._qpc(qp)
             if hdr.is_p:
-                bs_v, bs_h = inter_bs_grids_np(luma_nnz, asm["mv_grid"],
-                                               intra_mb=asm["intra_mb"])
+                bs_v, bs_h = inter_bs_grids_np(luma_nnz, None,
+                                               intra_mb=asm["intra_mb"],
+                                               mv4=asm["mv4"],
+                                               ref4=asm["ref4"])
             else:
                 bs_v, bs_h = intra_bs_grids_np(n_rows, n_cols)
             if hdr.disable_deblocking_filter_idc == 2:
@@ -282,6 +369,11 @@ class ReferenceDecoder:
                 frame.u.astype(np.int32),
                 frame.v.astype(np.int32),
             )
+            if hdr.idr:
+                self.dpb = []
+            self.dpb.insert(0, self.ref_planes)
+            max_ref = max(1, getattr(sps, "max_num_ref_frames", 1) or 1)
+            del self.dpb[max_ref:]
         return frame
 
     # ----------------------------------------------------------------- I_PCM
@@ -695,8 +787,13 @@ class ReferenceDecoder:
     def _mv_pred(pred_mv, r, c, n_cols):
         return mv_pred.predict_mv(pred_mv, r, c, n_cols)
 
+
     def _mc_luma(self, ref_y, r, c, mvx, mvy):
-        """Quarter-pel luma motion compensation (spec 8.4.2.2.1/2).
+        return self._mc_luma_blk(ref_y, r * 16, c * 16, 16, 16, mvx, mvy)
+
+    def _mc_luma_blk(self, ref_y, py0, px0, h, w, mvx, mvy):
+        """Quarter-pel luma motion compensation (spec 8.4.2.2.1/2) for an
+        arbitrary (h, w) block at pixel origin (py0, px0).
 
         Implemented independently of the JAX encoder path: a clipped integer
         patch is fetched, 6-tap half-pel values are computed on it, and the
@@ -706,33 +803,33 @@ class ReferenceDecoder:
         H, W = ref_y.shape
         xi, yi = mvx >> 2, mvy >> 2
         xf, yf = mvx & 3, mvy & 3
-        y0, x0 = r * 16 + yi, c * 16 + xi
-        # Patch covering taps (-2..+3) and +1 half/integer neighbors: 23x23.
-        ys = np.clip(np.arange(y0 - 2, y0 + 21), 0, H - 1)
-        xs = np.clip(np.arange(x0 - 2, x0 + 21), 0, W - 1)
+        y0, x0 = py0 + yi, px0 + xi
+        # Patch covering taps (-2..+3) and +1 half/integer neighbors.
+        ys = np.clip(np.arange(y0 - 2, y0 + h + 5), 0, H - 1)
+        xs = np.clip(np.arange(x0 - 2, x0 + w + 5), 0, W - 1)
         p = ref_y[np.ix_(ys, xs)].astype(np.int64)  # origin at (y0-2, x0-2)
 
         def tap_h(a):
-            w = a.shape[1]
-            return (a[:, 0:w-5] - 5*a[:, 1:w-4] + 20*a[:, 2:w-3]
-                    + 20*a[:, 3:w-2] - 5*a[:, 4:w-1] + a[:, 5:w])
+            ww = a.shape[1]
+            return (a[:, 0:ww-5] - 5*a[:, 1:ww-4] + 20*a[:, 2:ww-3]
+                    + 20*a[:, 3:ww-2] - 5*a[:, 4:ww-1] + a[:, 5:ww])
 
         def tap_v(a):
             h_ = a.shape[0]
             return (a[0:h_-5, :] - 5*a[1:h_-4, :] + 20*a[2:h_-3, :]
                     + 20*a[3:h_-2, :] - 5*a[4:h_-1, :] + a[5:h_, :])
 
-        # Integer grid G over (17, 17): G[j, i] = ref(y0 + j, x0 + i)
-        G = p[2:19, 2:19]
-        b1 = tap_h(p)            # (23, 18): col i -> half at x0 + i - ... col k = x between x0-2+k+.5? hfilter output col k uses cols k..k+5 -> center x0-2+k+2 +0.5 = x0+k+0.5 -> half sample at (x0+k, +1/2) for k from 0 -> need b at (x0+i+1/2): col i... b1 col i corresponds to half position right of x0+i when i = i. p col offset: output col i covers p cols i..i+5 centered at i+2/i+3 -> half between x0-2+i+2 and +3 = x0+i and x0+i+1 ✓
-        B = np.clip((b1[2:19, 0:17] + 16) >> 5, 0, 255)
-        h1 = tap_v(p)            # (18, 23): row j -> half below y0+j-... analogous
-        Hh = np.clip((h1[0:17, 2:19] + 16) >> 5, 0, 255)
-        j1 = tap_v(b1)           # (18, 18)
-        J = np.clip((j1[0:17, 0:17] + 512) >> 10, 0, 255)
+        # Integer grid G over (h+1, w+1): G[j, i] = ref(y0 + j, x0 + i)
+        G = p[2:h+3, 2:w+3]
+        b1 = tap_h(p)            # col i -> half between x0+i and x0+i+1
+        B = np.clip((b1[2:h+3, 0:w+1] + 16) >> 5, 0, 255)
+        h1 = tap_v(p)            # row j -> half between y0+j and y0+j+1
+        Hh = np.clip((h1[0:h+1, 2:w+3] + 16) >> 5, 0, 255)
+        j1 = tap_v(b1)
+        J = np.clip((j1[0:h+1, 0:w+1] + 512) >> 10, 0, 255)
 
         def blk(a, px=0, py=0):
-            return a[py:py+16, px:px+16]
+            return a[py:py+h, px:px+w]
 
         def avg(a, b_):
             return (a + b_ + 1) >> 1
@@ -758,21 +855,25 @@ class ReferenceDecoder:
         return table[(xf, yf)]()
 
     def _mc_chroma(self, ref_c, r, c, mvx, mvy):
-        """Chroma MC at 1/8-pel: full-pel luma MVs can still be half-pel in
-        chroma; bilinear interpolation per spec 8.4.2.2.2."""
+        return self._mc_chroma_blk(ref_c, r * 8, c * 8, 8, 8, mvx, mvy)
+
+    def _mc_chroma_blk(self, ref_c, py0, px0, h, w, mvx, mvy):
+        """Chroma MC at 1/8-pel for an (h, w) block at chroma-pixel origin
+        (py0, px0): full-pel luma MVs can still be half-pel in chroma;
+        bilinear interpolation per spec 8.4.2.2.2."""
         H, W = ref_c.shape
         # chroma mv in 1/8 units = luma mv (1/4 units) ... mvC = mvL (same
         # numeric value interpreted at 1/8 chroma pel)
         fx, fy = mvx & 7, mvy & 7
         ix, iy = mvx >> 3, mvy >> 3
-        y0, x0 = r * 8 + iy, c * 8 + ix
-        ys = np.clip(np.arange(y0, y0 + 9), 0, H - 1)
-        xs = np.clip(np.arange(x0, x0 + 9), 0, W - 1)
+        y0, x0 = py0 + iy, px0 + ix
+        ys = np.clip(np.arange(y0, y0 + h + 1), 0, H - 1)
+        xs = np.clip(np.arange(x0, x0 + w + 1), 0, W - 1)
         patch = ref_c[np.ix_(ys, xs)].astype(np.int64)
-        a = patch[:8, :8]
-        b = patch[:8, 1:9]
-        cc = patch[1:9, :8]
-        d = patch[1:9, 1:9]
+        a = patch[:h, :w]
+        b = patch[:h, 1:w+1]
+        cc = patch[1:h+1, :w]
+        d = patch[1:h+1, 1:w+1]
         return (
             (8 - fx) * (8 - fy) * a
             + fx * (8 - fy) * b
@@ -781,36 +882,95 @@ class ReferenceDecoder:
             + 32
         ) >> 6
 
-    def _decode_p_skip(self, y, u, v, ref_y, ref_u, ref_v, r, c, n_cols,
-                       pred_mv, r0=0, mv_grid=None):
-        """P_Skip: MV inferred by the shared skip rule (spec 8.4.1.1).
-        pred_mv is slice-local, keyed by (r - r0, c)."""
-        mvx, mvy = mv_pred.skip_mv(pred_mv, r - r0, c, n_cols)
-        pred_mv[(r - r0, c)] = (mvx, mvy)
-        if mv_grid is not None:
-            mv_grid[r, c] = (mvx, mvy)
+    def _decode_p_skip(self, y, u, v, ref0, r, c, motion):
+        """P_Skip: MV inferred by the grid rule (spec 8.4.1.1), refIdx 0."""
+        ref_y, ref_u, ref_v = ref0
+        mvx, mvy = motion.skip_mv(r, c)
+        motion.set_region(r * 4, c * 4, 4, 4, (mvx, mvy), 0)
         y0, x0 = r * 16, c * 16
         y[y0 : y0 + 16, x0 : x0 + 16] = self._mc_luma(ref_y, r, c, mvx, mvy)
         u[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_u, r, c, mvx, mvy)
         v[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = self._mc_chroma(ref_v, r, c, mvx, mvy)
 
-    def _decode_p16(self, br, y, u, v, ref_y, ref_u, ref_v, r, c, mb_type,
-                    qp_state, luma_nnz, chroma_nnz, n_cols, pred_mv, r0=0,
-                    mv_grid=None):
-        qp = qp_state[0]
-        if mb_type != 0:
-            raise NotImplementedError(f"P mb_type {mb_type} (only P_L0_16x16)")
-        mvdx = br.se()
-        mvdy = br.se()
-        px, py = self._mv_pred(pred_mv, r - r0, c, n_cols)
-        mvx, mvy = px + mvdx, py + mvdy
-        pred_mv[(r - r0, c)] = (mvx, mvy)
-        if mv_grid is not None:
-            mv_grid[r, c] = (mvx, mvy)
+    # P macroblock partition geometry: mb_type -> [(by, bx, h4, w4, shape)]
+    # in 4x4-block units within the MB (spec Table 7-13).
+    _P_PARTS = {
+        0: [(0, 0, 4, 4, None)],
+        1: [(0, 0, 2, 4, ("16x8", 0)), (2, 0, 2, 4, ("16x8", 1))],
+        2: [(0, 0, 4, 2, ("8x16", 0)), (0, 2, 4, 2, ("8x16", 1))],
+    }
+    # P sub-macroblock partition geometry: sub_mb_type -> [(by, bx, h4, w4)]
+    # within the 8x8 (spec Table 7-17).
+    _P_SUB_PARTS = {
+        0: [(0, 0, 2, 2)],
+        1: [(0, 0, 1, 2), (1, 0, 1, 2)],
+        2: [(0, 0, 2, 1), (0, 1, 2, 1)],
+        3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],
+    }
 
-        pred_y = self._mc_luma(ref_y, r, c, mvx, mvy)
-        pred_u = self._mc_chroma(ref_u, r, c, mvx, mvy)
-        pred_v = self._mc_chroma(ref_v, r, c, mvx, mvy)
+    def _decode_p_inter(self, br, y, u, v, ref_list, r, c, mb_type,
+                        qp_state, luma_nnz, chroma_nnz, n_cols, motion,
+                        nref, r0=0):
+        """Inter P macroblock: P_L0_16x16 (0), P_L0_L0_16x8 (1),
+        P_L0_L0_8x16 (2), P_8x8 (3), P_8x8ref0 (4) with all sub-partition
+        shapes and per-partition reference indices (spec 7.3.5.1,
+        8.4.1.3). Prediction samples come from ref_list[ref_idx]."""
+        qp = qp_state[0]
+        if mb_type > 4:
+            raise NotImplementedError(f"P mb_type {mb_type}")
+        gy0, gx0 = r * 4, c * 4
+        pred_y = np.zeros((16, 16), np.int64)
+        pred_u = np.zeros((8, 8), np.int64)
+        pred_v = np.zeros((8, 8), np.int64)
+
+        def mc_part(by, bx, h4, w4, mvx, mvy, ref_idx):
+            ry, ru, rv = ref_list[ref_idx]
+            pred_y[by * 4 : (by + h4) * 4, bx * 4 : (bx + w4) * 4] = (
+                self._mc_luma_blk(ry, r * 16 + by * 4, c * 16 + bx * 4,
+                                  h4 * 4, w4 * 4, mvx, mvy))
+            pred_u[by * 2 : (by + h4) * 2, bx * 2 : (bx + w4) * 2] = (
+                self._mc_chroma_blk(ru, r * 8 + by * 2, c * 8 + bx * 2,
+                                    h4 * 2, w4 * 2, mvx, mvy))
+            pred_v[by * 2 : (by + h4) * 2, bx * 2 : (bx + w4) * 2] = (
+                self._mc_chroma_blk(rv, r * 8 + by * 2, c * 8 + bx * 2,
+                                    h4 * 2, w4 * 2, mvx, mvy))
+
+        if mb_type in (0, 1, 2):
+            parts = self._P_PARTS[mb_type]
+            refs = [(br.te(nref - 1) if nref > 1 else 0) for _ in parts]
+            for (by, bx, h4, w4, shape), ref_idx in zip(parts, refs):
+                if ref_idx >= nref:
+                    raise ValueError(f"ref_idx {ref_idx} out of range")
+                mvdx = br.se()
+                mvdy = br.se()
+                px, py = motion.predict(gy0 + by, gx0 + bx, w4, ref_idx,
+                                        shape)
+                mvx, mvy = px + mvdx, py + mvdy
+                motion.set_region(gy0 + by, gx0 + bx, h4, w4, (mvx, mvy),
+                                  ref_idx)
+                mc_part(by, bx, h4, w4, mvx, mvy, ref_idx)
+        else:
+            sub_types = [br.ue() for _ in range(4)]
+            if any(st > 3 for st in sub_types):
+                raise NotImplementedError(f"sub_mb_type {sub_types}")
+            if mb_type == 4 or nref == 1:  # P_8x8ref0: all refIdx 0
+                refs8 = [0, 0, 0, 0]
+            else:
+                refs8 = [br.te(nref - 1) for _ in range(4)]
+            for p8 in range(4):
+                sy, sx = (p8 // 2) * 2, (p8 % 2) * 2
+                ref_idx = refs8[p8]
+                if ref_idx >= nref:
+                    raise ValueError(f"ref_idx {ref_idx} out of range")
+                for (by, bx, h4, w4) in self._P_SUB_PARTS[sub_types[p8]]:
+                    mvdx = br.se()
+                    mvdy = br.se()
+                    px, py = motion.predict(gy0 + sy + by, gx0 + sx + bx,
+                                            w4, ref_idx)
+                    mvx, mvy = px + mvdx, py + mvdy
+                    motion.set_region(gy0 + sy + by, gx0 + sx + bx, h4, w4,
+                                      (mvx, mvy), ref_idx)
+                    mc_part(sy + by, sx + bx, h4, w4, mvx, mvy, ref_idx)
 
         from ..entropy.cavlc_tables import CBP_TABLE
 

@@ -240,3 +240,26 @@ def test_cabac_adaptive_qp_cbr_ffmpeg_exact():
         adaptive_qp=True, rc_mode="cbr", bitrate=300_000, framerate=30))
     aus = [sess.encode_frame(yuv.pack_i420(*f)) for f in frames]
     _assert_ffmpeg_exact(sess, aus, frames, w, h)
+
+
+def test_x264_partitions_multiref_our_decoder_exact():
+    """Widened decode envelope: x264 streams with DEFAULT partitioning
+    (16x8/8x16/P_8x8 with all sub-shapes) and multi-reference P (ref=3)
+    must decode bit-exactly to ffmpeg (spec 8.4.1.3 grid MV prediction,
+    per-partition ref_idx, sliding-window DPB)."""
+    from media_tpu.ref.decoder import ReferenceDecoder
+
+    frames = _smooth(96, 64, 13)
+    frames = frames + [frames[1], frames[0]]  # some reordering-ish motion
+    common = ("cabac=0:me=hex:subme=4:trellis=0:weightp=0:8x8dct=0:"
+              "scenecut=0:bframes=0:threads=1:sliced-threads=0")
+    for params in (common + ":ref=1",
+                   common + ":ref=3:partitions=p8x8,i4x4"):
+        bs = avref.encode_h264(frames, qp=26, gop=30, x264_params=params)
+        ours = ReferenceDecoder().decode_annexb(bs)
+        ff = avref.decode(bs)
+        assert len(ours) == len(ff)
+        for i, (f, (fy, fu, fv)) in enumerate(zip(ours, ff)):
+            np.testing.assert_array_equal(f.y, fy, err_msg=f"Y {i} {params}")
+            np.testing.assert_array_equal(f.u, fu, err_msg=f"U {i}")
+            np.testing.assert_array_equal(f.v, fv, err_msg=f"V {i}")

@@ -8,7 +8,22 @@
 
 PY ?= python
 
-.PHONY: native test bench demo clean
+.PHONY: native test smoke sanitize bench demo clean
+
+# Smoke tier: the fast subset (unit + oracle tests; excludes the slow
+# integration/conformance markers). Target budget: ~5 min on 2 CPUs.
+smoke:
+	$(PY) -m pytest tests/ -q -m "not slow" -p no:randomly
+
+# ASan/UBSan pass over every exported native hot path (round-trip checks).
+sanitize: csrc/cavlc_tables.inc
+	g++ -std=c++17 -O1 -g -fsanitize=address,undefined \
+	  csrc/cavlc_pack.cpp csrc/cabac_pack.cpp csrc/cavlc_parse.cpp \
+	  csrc/cabac_parse.cpp csrc/sanitize_test.cpp -o csrc/build/sanitize_test
+	./csrc/build/sanitize_test
+
+csrc/cavlc_tables.inc:
+	$(PY) csrc/gen_tables.py
 
 native:
 	$(PY) -c "from media_tpu import native; \

@@ -337,8 +337,10 @@ class SliceHeader:
     idr: bool = False
     idr_pic_id: int = 0
     pic_order_cnt_lsb: int = 0
+    direct_spatial_mv_pred: bool = True
     num_ref_idx_active_override: bool = False
     num_ref_idx_l0_active: int = 1
+    num_ref_idx_l1_active: int = 1
     slice_qp_delta: int = 0
     disable_deblocking_filter_idc: int = 0
     cabac_init_idc: int = 0
@@ -355,6 +357,10 @@ class SliceHeader:
         return self.slice_type_mod5 == SLICE_TYPE_P
 
     @property
+    def is_b(self) -> bool:
+        return self.slice_type_mod5 == SLICE_TYPE_B
+
+    @property
     def is_i(self) -> bool:
         return self.slice_type_mod5 == SLICE_TYPE_I
 
@@ -367,11 +373,17 @@ class SliceHeader:
             w.ue(self.idr_pic_id)
         if sps.pic_order_cnt_type == 0:
             w.u(sps.log2_max_pic_order_cnt_lsb, self.pic_order_cnt_lsb)
-        if self.is_p:
+        if self.is_b:
+            w.flag(self.direct_spatial_mv_pred)
+        if self.is_p or self.is_b:
             w.flag(self.num_ref_idx_active_override)
             if self.num_ref_idx_active_override:
                 w.ue(self.num_ref_idx_l0_active - 1)
+                if self.is_b:
+                    w.ue(self.num_ref_idx_l1_active - 1)
             w.flag(False)  # ref_pic_list_modification_flag_l0
+            if self.is_b:
+                w.flag(False)  # ref_pic_list_modification_flag_l1
         if self.nal_ref_idc != 0:
             # dec_ref_pic_marking (7.3.3.3)
             if self.idr:
@@ -396,7 +408,8 @@ class SliceHeader:
         h.nal_ref_idc = nal_ref_idc
         h.first_mb_in_slice = r.ue()
         h.slice_type = r.ue()
-        if h.slice_type_mod5 not in (SLICE_TYPE_I, SLICE_TYPE_P):
+        if h.slice_type_mod5 not in (SLICE_TYPE_I, SLICE_TYPE_P,
+                                     SLICE_TYPE_B):
             raise NotImplementedError(f"slice_type {h.slice_type} not supported")
         h.pic_parameter_set_id = r.ue()
         h.frame_num = r.u(sps.log2_max_frame_num)
@@ -405,11 +418,18 @@ class SliceHeader:
         if sps.pic_order_cnt_type == 0:
             h.pic_order_cnt_lsb = r.u(sps.log2_max_pic_order_cnt_lsb)
         h.num_ref_idx_l0_active = pps.num_ref_idx_l0_active
-        if h.is_p:
+        h.num_ref_idx_l1_active = pps.num_ref_idx_l1_active
+        if h.is_b:
+            h.direct_spatial_mv_pred = r.flag()
+        if h.is_p or h.is_b:
             h.num_ref_idx_active_override = r.flag()
             if h.num_ref_idx_active_override:
                 h.num_ref_idx_l0_active = r.ue() + 1
+                if h.is_b:
+                    h.num_ref_idx_l1_active = r.ue() + 1
             if r.flag():
+                raise NotImplementedError("ref_pic_list_modification not supported")
+            if h.is_b and r.flag():
                 raise NotImplementedError("ref_pic_list_modification not supported")
         if nal_ref_idc != 0:
             if h.idr:

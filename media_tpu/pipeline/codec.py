@@ -76,6 +76,11 @@ class EncoderConfig:
     # tightening rate granularity from one QP step (~12% bits) to ~1%.
     # Composes with deblock (spec 8.7.2 per-edge qPav thresholds).
     adaptive_qp: bool = False
+    # B frames between P anchors (IBPBP display order; coding order
+    # reorders each B after its future reference). 0 or 1 supported: 1
+    # inserts one non-reference B_Bi_16x16 picture between consecutive
+    # anchors, with POC type 0 carrying display order. CAVLC + CQ today.
+    b_frames: int = 0
     # Mathematically lossless encode: every frame is an IDR whose
     # macroblocks are all I_PCM (spec 7.3.5, mb_type 25) — raw 8-bit
     # samples in the bitstream, so any conformant decoder reproduces the
@@ -95,7 +100,20 @@ class EncoderSession:
             cfg.deblock = False
             cfg.cabac = False
             cfg.rc_mode = "cq"
-        self.sps = SPS.for_size(cfg.width, cfg.height, level_idc=cfg.level_idc)
+        if cfg.b_frames:
+            if cfg.cabac or cfg.rc_mode != "cq" or cfg.num_slices != 1:
+                raise ValueError(
+                    "b_frames requires CAVLC, rc_mode='cq', single slice")
+            # Display order != coding order: POC type 2 is forbidden with
+            # reordering (spec 8.2.1); carry display order as POC type 0.
+            self.sps = SPS.for_size(cfg.width, cfg.height,
+                                    level_idc=cfg.level_idc,
+                                    pic_order_cnt_type=0,
+                                    log2_max_pic_order_cnt_lsb=16,
+                                    max_num_ref_frames=2)
+        else:
+            self.sps = SPS.for_size(cfg.width, cfg.height,
+                                    level_idc=cfg.level_idc)
         if cfg.signal_timing and cfg.framerate > 0:
             self.sps.vui_timing = (1, 2 * cfg.framerate)
         self.pps = PPS(pic_init_qp=cfg.qp, deblocking_filter_control_present=True)
@@ -145,6 +163,11 @@ class EncoderSession:
         self._rc_dev = None   # (qp_f, buf, cplx) device scalars
         self._rc_corr = 0.0   # pending actual-minus-estimated bits
         self._cabac_scale = 0.92
+        # B-GOP state: display index since the IDR and the next reference
+        # picture's frame_num (B pictures are non-reference; their
+        # frame_num is PrevRefFrameNum + 1, spec 7.4.3).
+        self._display_since_idr: int | None = None
+        self._ref_frame_num = 1
 
     def force_keyframe(self) -> None:
         """Analog of the reference's keyframe poll + ForceIntraFrame
@@ -194,6 +217,10 @@ class EncoderSession:
             data = self._encode_ipcm(y, u, v)
             self.frame_idx += 1
             return data
+        if cfg.b_frames:
+            # Single-frame call in B mode: encode as an anchor (no B can be
+            # inserted without lookahead); counters stay consistent.
+            return self._encode_frames_bgop([(y, u, v)])[0]
         is_idr = (
             self.frame_idx % cfg.gop_size == 0
             or self._force_idr
@@ -340,6 +367,16 @@ class EncoderSession:
         cfg = self.cfg
         if cfg.lossless:
             return [self.encode_frame(b) for b in i420_frames]
+        if cfg.b_frames:
+            bplanes = []
+            for buf in i420_frames:
+                y, u, v = yuv.split_i420(buf, cfg.width, cfg.height)
+                bplanes.append((
+                    yuv.pad_to_mb_grid(y, 16),
+                    yuv.pad_to_mb_grid(u, 8),
+                    yuv.pad_to_mb_grid(v, 8),
+                ))
+            return self._encode_frames_bgop(bplanes)
         planes = []
         for buf in i420_frames:
             y, u, v = yuv.split_i420(buf, cfg.width, cfg.height)
@@ -680,19 +717,24 @@ class EncoderSession:
 
     def _pslice_header_writer(self, qp: int | None = None,
                               first_mb: int = 0,
-                              frame_idx: int | None = None) -> BitWriter:
+                              frame_idx: int | None = None,
+                              frame_num: int | None = None,
+                              poc: int | None = None) -> BitWriter:
         cfg = self.cfg
         qp = cfg.qp if qp is None else qp
         if frame_idx is None:
             frame_idx = self.frame_idx
         bw = BitWriter()
-        frame_num = (frame_idx - self.frame_idx_of_idr) % (
-            1 << self.sps.log2_max_frame_num
-        )
+        if frame_num is None:
+            frame_num = (frame_idx - self.frame_idx_of_idr) % (
+                1 << self.sps.log2_max_frame_num
+            )
         hdr = SliceHeader(
             slice_type=5,
             idr=False,
             frame_num=frame_num,
+            pic_order_cnt_lsb=(poc or 0) % (
+                1 << self.sps.log2_max_pic_order_cnt_lsb),
             first_mb_in_slice=first_mb,
             slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=self._deblock_idc,
@@ -700,6 +742,104 @@ class EncoderSession:
         )
         hdr.write(bw, self.sps, self.pps)
         return bw
+
+    # ------------------------------------------------------------- B frames
+
+    def _encode_frames_bgop(self, planes: list) -> list[bytes]:
+        """IBPBP GOP driver: every pair (f[i], f[i+1]) encodes as the anchor
+        P (display i+1) followed by the non-reference B (display i) —
+        coding order, which is also the returned AU order. One AU per
+        input frame."""
+        cfg = self.cfg
+        fnmask = (1 << self.sps.log2_max_frame_num) - 1
+        out: list[bytes] = []
+        i = 0
+        n = len(planes)
+        while i < n:
+            idr_due = (self._display_since_idr is None
+                       or self._display_since_idr >= cfg.gop_size
+                       or self._force_idr or self.recon is None)
+            if idr_due:
+                self._force_idr = False
+                out.append(self._encode_idr(*planes[i]))
+                self._display_since_idr = 1
+                self._ref_frame_num = 1
+                self.frame_idx += 1
+                i += 1
+                continue
+            d = self._display_since_idr
+            until_idr = cfg.gop_size - d
+            if i + 1 < n and until_idr >= 2:
+                prev_recon = self.recon
+                p_fn = self._ref_frame_num & fnmask
+                p_au = self._encode_p_anchor(planes[i + 1], frame_num=p_fn,
+                                             poc=2 * (d + 1))
+                b_au = self._encode_b(planes[i], prev_recon, self.recon,
+                                      frame_num=(p_fn + 1) & fnmask,
+                                      poc=2 * d)
+                self._ref_frame_num += 1
+                out.extend([p_au, b_au])
+                self._display_since_idr += 2
+                self.frame_idx += 2
+                i += 2
+            else:
+                out.append(self._encode_p_anchor(
+                    planes[i], frame_num=self._ref_frame_num & fnmask,
+                    poc=2 * d))
+                self._ref_frame_num += 1
+                self._display_since_idr += 1
+                self.frame_idx += 1
+                i += 1
+        return out
+
+    def _encode_p_anchor(self, plane, frame_num: int, poc: int) -> bytes:
+        """One P anchor with explicit frame_num/POC (B-GOP coding order)."""
+        cfg = self.cfg
+        y, u, v = plane
+        result = self._frame_encoder.encode_pframe(
+            y, u, v, *self.recon, cfg.qp, deblock=cfg.deblock)
+        self.recon = (result.recon_y, result.recon_u, result.recon_v)
+        fields = {
+            "mv": result.mv, "luma_levels": result.luma_levels,
+            "cdc_levels": result.cdc_levels, "cac_levels": result.cac_levels,
+        }
+        bw = self._pslice_header_writer(frame_num=frame_num, poc=poc)
+        slice_coder.write_pslice_mbs(
+            bw, mv=fields["mv"], luma_levels=fields["luma_levels"],
+            cdc_levels=fields["cdc_levels"], cac_levels=fields["cac_levels"])
+        bw.rbsp_trailing_bits()
+        return self._aud(primary_pic_type=1) + wrap_nal(
+            H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=2)
+
+    def _encode_b(self, plane, ref0, ref1, frame_num: int, poc: int) -> bytes:
+        """One non-reference B picture (B_Bi_16x16): ME against both
+        anchors on device, host CAVLC B-slice entropy. Deblocking is
+        disabled per-slice (idc 1) — a per-slice choice the spec allows,
+        and B recon never feeds prediction."""
+        cfg = self.cfg
+        y, u, v = plane
+        qp_b = min(cfg.qp + 2, 51)  # standard B-picture QP offset
+        fields = self._frame_encoder.encode_bframe(y, u, v, ref0, ref1, qp_b)
+        bw = BitWriter()
+        hdr = SliceHeader(
+            slice_type=6,  # B (all slices in picture are B)
+            idr=False,
+            frame_num=frame_num,
+            pic_order_cnt_lsb=poc % (
+                1 << self.sps.log2_max_pic_order_cnt_lsb),
+            slice_qp_delta=qp_b - self.pps.pic_init_qp,
+            disable_deblocking_filter_idc=1,
+            nal_ref_idc=0,
+        )
+        hdr.write(bw, self.sps, self.pps)
+        slice_coder.write_bslice_mbs(
+            bw, mv0=fields["mv0"], mv1=fields["mv1"],
+            luma_levels=fields["luma_levels"],
+            cdc_levels=fields["cdc_levels"],
+            cac_levels=fields["cac_levels"])
+        bw.rbsp_trailing_bits()
+        return self._aud(primary_pic_type=2) + wrap_nal(
+            H264NalType.SLICE, bw.get_bytes(), nal_ref_idc=0)
 
     def _pslice_au(self, fields: dict, qp: int | None = None,
                    frame_idx: int | None = None) -> bytes:

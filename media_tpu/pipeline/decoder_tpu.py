@@ -606,6 +606,11 @@ class TpuDecoder:
         hdr = SliceHeader.parse(br, sps, pps, nal_type=nal_type,
                                 nal_ref_idc=nal_ref_idc)
         C = sps.pic_width_in_mbs
+        if hdr.is_b or sps.pic_order_cnt_type == 0:
+            # B pictures / reordered streams: outside the device path's
+            # envelope — raise on the FIRST slice so the API fallback hands
+            # the whole stream to the scalar decoder with a clean DPB.
+            raise UnsupportedStream("B/reordered stream (POC type 0)")
         if hdr.first_mb_in_slice % C:
             raise UnsupportedStream("non-row-aligned slice")
         if hdr.first_mb_in_slice == 0:

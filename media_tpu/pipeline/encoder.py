@@ -279,6 +279,52 @@ class FrameEncoder:
             cap or self.cap_words,
         )
 
+    # ------------------------------------------------------------------- B
+
+    def encode_bframe(self, y, u, v, ref0, ref1, qp: int,
+                      search_range: int = 8) -> dict:
+        """Encode one non-reference B frame against two references
+        (B_Bi_16x16 everywhere; pipeline/pframe_core.local_bframe_core).
+
+        ref0/ref1: (y, u, v) plane tuples (device or host). Returns the
+        unpacked symbol dict {mv0, mv1, luma_levels, cdc_levels,
+        cac_levels} for the host B-slice entropy coder."""
+        from .pframe_core import unpack_b_symbols
+
+        qp_c = int(T.chroma_qp(qp))
+        sym = self._encode_bframe_device(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            *[jnp.asarray(p) for p in ref0],
+            *[jnp.asarray(p) for p in ref1],
+            jnp.int32(qp), jnp.int32(qp_c), search_range,
+        )
+        return unpack_b_symbols(sym)
+
+    @functools.partial(jax.jit, static_argnums=(0, 12))
+    def _encode_bframe_device(self, y, u, v, r0y, r0u, r0v, r1y, r1u, r1v,
+                              qp, qp_c, search_range):
+        from .pframe_core import INTERP_HALO, local_bframe_core
+
+        rs = search_range
+        halo_y = rs + INTERP_HALO
+        halo_c = rs // 2 + 2
+
+        def ext(ry, ru, rv):
+            return (
+                jnp.pad(ry.astype(jnp.int32), ((halo_y, halo_y), (0, 0)),
+                        mode="edge"),
+                jnp.pad(ru.astype(jnp.int32), ((halo_c, halo_c), (0, 0)),
+                        mode="edge"),
+                jnp.pad(rv.astype(jnp.int32), ((halo_c, halo_c), (0, 0)),
+                        mode="edge"),
+            )
+
+        return local_bframe_core(
+            y.astype(jnp.int32), u.astype(jnp.int32), v.astype(jnp.int32),
+            ext(r0y, r0u, r0v), ext(r1y, r1u, r1v),
+            qp, qp_c, rs, self.n_rows, self.n_cols,
+        )
+
     @property
     def cap_words(self) -> int:
         # ~1.5 bits/pixel budget for packed slice_data (64 KiB minimum): the

@@ -105,6 +105,109 @@ def mc_chroma_ext(ref_c_ext, mv, R, C, halo: int):
             + (8 - fx) * fy * cc + fx * fy * d + 32) >> 6
 
 
+def search_refine_luma(cur, ref_y_ext, search_range: int, R: int, C: int):
+    """Full-pel search + quarter-pel refinement against one reference.
+
+    cur: (N, 16, 16) int32 MBs; ref_y_ext: reference luma extended by
+    search_range + INTERP_HALO rows above/below. Returns (qmv (N, 2)
+    quarter-pel, pred (N, 16, 16), cost (N,))."""
+    n = R * C
+    rs = search_range
+    ref_for_fullpel = ref_y_ext[INTERP_HALO:-INTERP_HALO]
+    pad = jnp.pad(ref_for_fullpel, ((0, 0), (rs, rs)), mode="edge")
+    if 2 * rs == 16:
+        # Gather-free window build (see local_pframe_core).
+        blk = pad.reshape(R + 1, 16, (C + 1) * 16)
+        rows2 = jnp.concatenate([blk[:-1], blk[1:]], axis=1)
+        t = rows2.reshape(R, 32, C + 1, 16)
+        wins = jnp.concatenate([t[:, :, :-1], t[:, :, 1:]], axis=3)
+        windows = wins.transpose(0, 2, 1, 3).reshape(n, 32, 32)
+    else:
+        r = jnp.arange(n, dtype=jnp.int32) // C
+        c = jnp.arange(n, dtype=jnp.int32) % C
+        span = jnp.arange(16 + 2 * rs, dtype=jnp.int32)
+        rows = r[:, None] * 16 + span[None, :]
+        cols = c[:, None] * 16 + span[None, :]
+        windows = pad[rows[:, :, None], cols[:, None, :]]
+    mv_full, _cost = me_ops.full_search(cur, windows, rs)
+    pad_i = jnp.pad(ref_y_ext, ((0, 0), (rs + INTERP_HALO, rs + INTERP_HALO)),
+                    mode="edge")
+    hp_b, hp_h, hp_j = interp_ops.half_pel_planes(pad_i)
+    return refine_subpel(cur, pad_i, hp_b, hp_h, hp_j, mv_full, R, C, rs)
+
+
+B_SYMBOLS_PER_MB = 4 + 256 + 8 + 120  # = 388: mv0, mv1, luma, cdc, cac
+
+
+def local_bframe_core(cur_y, cur_u, cur_v, ref0_ext, ref1_ext,
+                      qp, qp_c, search_range: int, n_rows: int, n_cols: int):
+    """B-frame encode core (B_Bi_16x16 everywhere): independent ME against
+    both references, default bi-prediction (spec 8.4.2.3.2: rounded average
+    of the two prediction signals), transform/quant of the bi residual.
+
+    ref0_ext/ref1_ext: (y_ext, u_ext, v_ext) tuples padded like the P core's
+    references. No reconstruction is produced — B frames are non-reference
+    in this GOP structure, so their recon never feeds prediction."""
+    R, C = n_rows, n_cols
+    n = R * C
+    rs = search_range
+    halo_c = rs // 2 + 2
+    cur = cur_y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    cu = cur_u.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+    cv = cur_v.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(n, 8, 8)
+
+    qmv0, pred0, _ = search_refine_luma(cur, ref0_ext[0], rs, R, C)
+    qmv1, pred1, _ = search_refine_luma(cur, ref1_ext[0], rs, R, C)
+    pred = (pred0 + pred1 + 1) >> 1
+
+    pu = (mc_chroma_ext(ref0_ext[1], qmv0, R, C, halo_c)
+          + mc_chroma_ext(ref1_ext[1], qmv1, R, C, halo_c) + 1) >> 1
+    pv = (mc_chroma_ext(ref0_ext[2], qmv0, R, C, halo_c)
+          + mc_chroma_ext(ref1_ext[2], qmv1, R, C, halo_c) + 1) >> 1
+
+    res = _mb_blocks(cur - pred)
+    z = T.quant_4x4(T.forward_4x4(res), qp, intra=False)
+
+    def chroma_code(o_c, pred_c):
+        w_c = T.forward_4x4(_mb_blocks8(o_c - pred_c))
+        dc2 = w_c[:, :, 0, 0].reshape(-1, 2, 2)
+        z2 = T.quant_dc_2x2(T.hadamard_2x2(dc2), qp_c, intra=False)
+        z_cac = T.quant_4x4(w_c, qp_c, intra=False).at[:, :, 0, 0].set(0)
+        return z2.reshape(-1, 4), z_cac
+
+    zdc_u, zac_u = chroma_code(cu, pu)
+    zdc_v, zac_v = chroma_code(cv, pv)
+
+    symbols = jnp.concatenate(
+        [
+            qmv0.astype(jnp.int16),
+            qmv1.astype(jnp.int16),
+            T.zigzag(z).reshape(n, 256).astype(jnp.int16),
+            jnp.stack([zdc_u, zdc_v], axis=1).reshape(n, 8).astype(jnp.int16),
+            jnp.stack(
+                [T.zigzag(zac_u)[..., 1:], T.zigzag(zac_v)[..., 1:]], axis=1
+            ).reshape(n, 120).astype(jnp.int16),
+        ],
+        axis=-1,
+    ).reshape(R, C, B_SYMBOLS_PER_MB)
+    return symbols
+
+
+def unpack_b_symbols(symbols):
+    """(R, C, B_SYMBOLS_PER_MB) int16 -> dict of int32 numpy arrays."""
+    import numpy as np
+
+    s = np.asarray(symbols)
+    R, C = s.shape[:2]
+    return {
+        "mv0": s[..., 0:2].astype(np.int32),
+        "mv1": s[..., 2:4].astype(np.int32),
+        "luma_levels": s[..., 4:260].reshape(R, C, 16, 16).astype(np.int32),
+        "cdc_levels": s[..., 260:268].reshape(R, C, 2, 4).astype(np.int32),
+        "cac_levels": s[..., 268:].reshape(R, C, 2, 4, 15).astype(np.int32),
+    }
+
+
 def local_pframe_core(cur_y, cur_u, cur_v, ref_y_ext, ref_u_ext, ref_v_ext,
                       qp, qp_c, search_range: int, n_rows: int, n_cols: int):
     """P-frame encode for a tile of `n_rows` MB rows.

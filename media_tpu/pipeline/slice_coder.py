@@ -437,3 +437,71 @@ def write_pslice_mbs(
     if skip_run:
         bw.ue(skip_run)
     return {"n_skip": n_skip}
+
+
+# --------------------------------------------------------------------- B slice
+
+
+def write_bslice_mbs(
+    bw: BitWriter,
+    *,
+    mv0: np.ndarray,
+    mv1: np.ndarray,
+    luma_levels: np.ndarray,
+    cdc_levels: np.ndarray,
+    cac_levels: np.ndarray,
+) -> None:
+    """Write all macroblocks of a B slice as B_Bi_16x16 (Table 7-14 type 3)
+    with refIdx 0 in both lists (num_ref_idx_active 1/1: no ref_idx coded).
+
+    mv0/mv1: (R, C, 2) quarter-pel MVs for list 0 / list 1. MV prediction
+    runs per list with the same 8.4.1.3 rules as P (all MBs carry both
+    lists with matching refIdx, so the grid reduces to the median path).
+    """
+    from . import mv_pred
+
+    n_rows, n_cols = mv0.shape[:2]
+    st = _MbGridCoder(n_rows, n_cols)
+    map0: dict = {}
+    map1: dict = {}
+
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cbp_luma = 0
+            for g8 in range(4):
+                blks = [ZSCAN_TO_RASTER[g8 * 4 + k] for k in range(4)]
+                if any(np.any(luma_levels[r, c, b]) for b in blks):
+                    cbp_luma |= 1 << g8
+            if np.any(cac_levels[r, c]):
+                cbp_chroma = 2
+            elif np.any(cdc_levels[r, c]):
+                cbp_chroma = 1
+            else:
+                cbp_chroma = 0
+            cbp = cbp_luma | (cbp_chroma << 4)
+
+            bw.ue(0)  # mb_skip_run (no B_Skip in this encoder)
+            bw.ue(3)  # mb_type = B_Bi_16x16
+            for mv, mp in ((mv0, map0), (mv1, map1)):
+                this = (int(mv[r, c, 0]), int(mv[r, c, 1]))
+                px, py = mv_pred.predict_mv(mp, r, c, n_cols)
+                bw.se(this[0] - px)
+                bw.se(this[1] - py)
+                mp[(r, c)] = this
+            bw.ue(int(tables.CBP_TO_CODE_INTER[cbp]))
+            if cbp:
+                bw.se(0)  # mb_qp_delta (fixed-QP slice)
+            for g8 in range(4):
+                blks = [ZSCAN_TO_RASTER[g8 * 4 + k] for k in range(4)]
+                if not (cbp_luma >> g8) & 1:
+                    for b in blks:
+                        st.luma_nnz[r * 4 + b // 4, c * 4 + b % 4] = 0
+                    continue
+                for b in blks:
+                    by, bx = r * 4 + b // 4, c * 4 + b % 4
+                    n_c = _nc_luma(st.luma_nnz, by, bx)
+                    tc = cavlc.encode_block(bw, luma_levels[r, c, b].tolist(),
+                                            n_c)
+                    st.luma_nnz[by, bx] = tc
+            _write_chroma_residual(bw, st, r, c, cdc_levels[r, c],
+                                   cac_levels[r, c], cbp_chroma)

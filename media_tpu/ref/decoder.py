@@ -102,6 +102,7 @@ class DecodedFrame:
     v: np.ndarray
     frame_num: int
     idr: bool
+    poc: int = 0  # PicOrderCnt (display order); 0 under POC type 2
 
 
 class _PMotion:
@@ -186,8 +187,12 @@ class ReferenceDecoder:
     ref_planes: tuple | None = None  # (y, u, v) of last decoded reference
     frames: list = field(default_factory=list)
     # Decoded picture buffer, most-recent-first (sliding-window marking,
-    # spec 8.2.5.3): P ref list 0 is this order (descending PicNum).
+    # spec 8.2.5.3): entries are {"poc", "planes"}; P ref list 0 is this
+    # order (descending PicNum), B lists re-sort by POC (8.2.4.2.3).
     dpb: list = field(default_factory=list)
+    # POC type 0 MSB/LSB tracking (spec 8.2.1.1).
+    _poc_msb: int = 0
+    _poc_lsb: int = 0
 
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         out = []
@@ -250,25 +255,103 @@ class ReferenceDecoder:
         y, u, v = asm["y"], asm["u"], asm["v"]
         luma_nnz, chroma_nnz = asm["luma_nnz"], asm["chroma_nnz"]
 
-        if hdr.is_p:
+        # PicOrderCnt (spec 8.2.1.1, type 0 MSB/LSB arithmetic; type 2
+        # pictures never reorder, so 0 is fine there).
+        if sps.pic_order_cnt_type == 0:
+            max_lsb = 1 << sps.log2_max_pic_order_cnt_lsb
+            if hdr.idr:
+                self._poc_msb = self._poc_lsb = 0
+            lsb = hdr.pic_order_cnt_lsb
+            msb = self._poc_msb
+            if lsb < self._poc_lsb and self._poc_lsb - lsb >= max_lsb // 2:
+                msb += max_lsb
+            elif lsb > self._poc_lsb and lsb - self._poc_lsb > max_lsb // 2:
+                msb -= max_lsb
+            cur_poc = msb + lsb
+            if nal_ref_idc != 0:
+                self._poc_msb, self._poc_lsb = msb, lsb
+        else:
+            cur_poc = 0
+
+        if hdr.is_p or hdr.is_b:
             if not self.dpb and self.ref_planes is not None:
                 # Session resumed with externally-seeded reference planes
                 # (decoder_api fallback handoff).
-                self.dpb = [self.ref_planes]
+                self.dpb = [{"poc": -1, "planes": self.ref_planes}]
             if not self.dpb:
-                raise ValueError("P slice without reference frame")
+                raise ValueError("inter slice without reference frame")
+        if hdr.is_p:
             nref = max(1, hdr.num_ref_idx_l0_active)
-            ref_list = list(self.dpb[:nref])
+            ref_list = [e["planes"] for e in self.dpb[:nref]]
             while len(ref_list) < nref:  # degenerate: clamp to what exists
                 ref_list.append(ref_list[-1])
+        elif hdr.is_b:
+            # Default B list init (8.2.4.2.3): L0 = past POCs descending
+            # then future ascending; L1 = future ascending then past
+            # descending.
+            past = sorted((e for e in self.dpb if e["poc"] < cur_poc),
+                          key=lambda e: -e["poc"])
+            future = sorted((e for e in self.dpb if e["poc"] >= cur_poc),
+                            key=lambda e: e["poc"])
+            l0 = [e["planes"] for e in past + future]
+            l1 = [e["planes"] for e in future + past]
+            n0 = max(1, hdr.num_ref_idx_l0_active)
+            n1 = max(1, hdr.num_ref_idx_l1_active)
+            while len(l0) < n0:
+                l0.append(l0[-1] if l0 else self.dpb[0]["planes"])
+            while len(l1) < n1:
+                l1.append(l1[-1] if l1 else self.dpb[0]["planes"])
+            ref_l0, ref_l1 = l0[:n0] or l0, l1[:n1] or l1
+            if hdr.disable_deblocking_filter_idc != 1:
+                raise NotImplementedError(
+                    "deblocking in B slices not supported")
 
         mb_idx = hdr.first_mb_in_slice
         r0 = mb_idx // n_cols  # row-aligned slices
         asm["slice_starts"].append(r0)
         motion = (_PMotion(asm["mv4"], asm["ref4"], r0) if hdr.is_p else None)
+        if hdr.is_b:
+            m0 = _PMotion(asm["mv4"], asm["ref4"], r0)
+            m1 = _PMotion(np.zeros_like(asm["mv4"]),
+                          np.full_like(asm["ref4"], -1), r0)
         qp_state = [qp, False]  # [running per-MB QP, any delta seen]
         start_idx = mb_idx
         while mb_idx < mb_count and (mb_idx == start_idx or br.more_rbsp_data()):
+            if hdr.is_b:
+                skip_run = br.ue()
+                if skip_run:
+                    raise NotImplementedError("B_Skip (direct mode)")
+                r, c = divmod(mb_idx, n_cols)
+                mb_type = br.ue()
+                if mb_type >= 23:  # intra MB in B slice (7.4.5: type - 23)
+                    asm["intra_mb"][r, c] = True
+                    m0.set_intra(r, c)
+                    m1.set_intra(r, c)
+                    it = mb_type - 23
+                    if it == 25:
+                        self._decode_ipcm(br, y, u, v, r, c, luma_nnz,
+                                          chroma_nnz, asm)
+                    elif it == 0:
+                        if "i4_modes" not in asm:
+                            asm["i4_modes"] = np.full(
+                                (n_rows * 4, n_cols * 4), -1, np.int32)
+                        self._decode_i4(br, y, u, v, r, c, qp_state[0],
+                                        luma_nnz, chroma_nnz, n_cols,
+                                        asm["i4_modes"], r0)
+                    else:
+                        self._decode_i16(br, y, u, v, r, c, it,
+                                         qp_state[0], luma_nnz, chroma_nnz,
+                                         n_cols, r0)
+                elif mb_type == 0:
+                    raise NotImplementedError("B_Direct_16x16")
+                else:
+                    self._decode_b_inter(br, y, u, v, ref_l0, ref_l1, r, c,
+                                         mb_type, qp_state, luma_nnz,
+                                         chroma_nnz, n_cols, m0, m1, r0)
+                asm["qp_grid"][r, c] = qp_state[0]
+                asm["qp_varies"] = asm["qp_varies"] or qp_state[1]
+                mb_idx += 1
+                continue
             if hdr.is_p:
                 skip_run = br.ue()  # mb_skip_run precedes each coded MB
                 for _ in range(skip_run):
@@ -362,6 +445,7 @@ class ReferenceDecoder:
             v=np.clip(v, 0, 255).astype(np.uint8),
             frame_num=hdr.frame_num,
             idr=hdr.idr,
+            poc=cur_poc,
         )
         if nal_ref_idc != 0:
             self.ref_planes = (
@@ -371,7 +455,7 @@ class ReferenceDecoder:
             )
             if hdr.idr:
                 self.dpb = []
-            self.dpb.insert(0, self.ref_planes)
+            self.dpb.insert(0, {"poc": cur_poc, "planes": self.ref_planes})
             max_ref = max(1, getattr(sps, "max_num_ref_frames", 1) or 1)
             del self.dpb[max_ref:]
         return frame
@@ -972,8 +1056,53 @@ class ReferenceDecoder:
                                       (mvx, mvy), ref_idx)
                     mc_part(sy + by, sx + bx, h4, w4, mvx, mvy, ref_idx)
 
+        self._inter_residual_recon(br, y, u, v, r, c, qp_state, luma_nnz,
+                                   chroma_nnz, pred_y, pred_u, pred_v, r0)
+
+    def _decode_b_inter(self, br, y, u, v, ref_l0, ref_l1, r, c, mb_type,
+                        qp_state, luma_nnz, chroma_nnz, n_cols, m0, m1,
+                        r0=0):
+        """B macroblock, 16x16 types only: B_L0_16x16 (1), B_L1_16x16 (2),
+        B_Bi_16x16 (3). m0/m1: per-list _PMotion contexts; bi-prediction
+        is the default rounded average (spec 8.4.2.3.2)."""
+        if mb_type not in (1, 2, 3):
+            raise NotImplementedError(f"B mb_type {mb_type}")
+        use0 = mb_type in (1, 3)
+        use1 = mb_type in (2, 3)
+        gy0, gx0 = r * 4, c * 4
+        n0, n1 = len(ref_l0), len(ref_l1)
+        ref0 = br.te(n0 - 1) if (use0 and n0 > 1) else 0
+        ref1 = br.te(n1 - 1) if (use1 and n1 > 1) else 0
+        preds = []
+        for use, m, ref_idx, ref_list in ((use0, m0, ref0, ref_l0),
+                                          (use1, m1, ref1, ref_l1)):
+            if not use:
+                m.set_region(gy0, gx0, 4, 4, (0, 0), -1)
+                continue
+            mvdx = br.se()
+            mvdy = br.se()
+            px, py = m.predict(gy0, gx0, 4, ref_idx)
+            mvx, mvy = px + mvdx, py + mvdy
+            m.set_region(gy0, gx0, 4, 4, (mvx, mvy), ref_idx)
+            ry, ru, rv = ref_list[ref_idx]
+            preds.append((self._mc_luma(ry, r, c, mvx, mvy),
+                          self._mc_chroma(ru, r, c, mvx, mvy),
+                          self._mc_chroma(rv, r, c, mvx, mvy)))
+        if len(preds) == 2:
+            pred_y = (preds[0][0] + preds[1][0] + 1) >> 1
+            pred_u = (preds[0][1] + preds[1][1] + 1) >> 1
+            pred_v = (preds[0][2] + preds[1][2] + 1) >> 1
+        else:
+            pred_y, pred_u, pred_v = preds[0]
+        self._inter_residual_recon(br, y, u, v, r, c, qp_state, luma_nnz,
+                                   chroma_nnz, pred_y, pred_u, pred_v, r0)
+
+    def _inter_residual_recon(self, br, y, u, v, r, c, qp_state, luma_nnz,
+                              chroma_nnz, pred_y, pred_u, pred_v, r0=0):
+        """Shared inter-MB residual parse + reconstruction (P and B)."""
         from ..entropy.cavlc_tables import CBP_TABLE
 
+        qp = qp_state[0]
         cbp_code = br.ue()
         cbp = int(CBP_TABLE[cbp_code][1])  # inter column
         cbp_luma = cbp & 15

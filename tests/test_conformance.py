@@ -263,3 +263,31 @@ def test_x264_partitions_multiref_our_decoder_exact():
             np.testing.assert_array_equal(f.y, fy, err_msg=f"Y {i} {params}")
             np.testing.assert_array_equal(f.u, fu, err_msg=f"U {i}")
             np.testing.assert_array_equal(f.v, fv, err_msg=f"V {i}")
+
+
+def test_bframes_ffmpeg_exact():
+    """B-frame skeleton: IBPBP GOP (one non-reference B_Bi_16x16 picture
+    between anchors, POC type 0 display order) must decode bit-exactly in
+    ffmpeg and in the in-repo decoder, with and without anchor
+    deblocking."""
+    from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
+    from media_tpu.ref.decoder import ReferenceDecoder
+    from media_tpu.utils import yuv
+
+    frames = _smooth(64, 48, 17)[:4] + _smooth(64, 48, 18)[:3]
+    for deblock in (False, True):
+        sess = EncoderSession(EncoderConfig(
+            width=64, height=48, qp=28, gop_size=30, deblock=deblock,
+            b_frames=1))
+        aus = sess.encode_frames([yuv.pack_i420(*f) for f in frames])
+        assert len(aus) == len(frames)
+        stream = b"".join(aus)
+        ours = sorted(ReferenceDecoder().decode_annexb(stream),
+                      key=lambda f: f.poc)
+        ff = avref.decode(stream)
+        assert len(ff) == len(ours)
+        for i, ((fy, fu, fv), f) in enumerate(zip(ff, ours)):
+            np.testing.assert_array_equal(f.y, fy,
+                                          err_msg=f"Y {i} deblock={deblock}")
+            np.testing.assert_array_equal(f.u, fu, err_msg=f"U {i}")
+            np.testing.assert_array_equal(f.v, fv, err_msg=f"V {i}")

@@ -271,6 +271,47 @@ def _deblock_frame_wavemajor(y, u, v, qp, qp_c, bs_v, bs_h, R: int, C: int,
         bsh_mb[:, (0, 2), :].reshape(R * C, 8),
         tccv_mb.reshape(R * C, 8), tcch_mb.reshape(R * C, 8),
     ]
+
+    import os as _os
+
+    if _os.environ.get("MEDIA_TPU_DEBLOCK_KERNEL") == "wavepallas":
+        # Single-launch Pallas wavefront: per-edge alpha/beta always ride
+        # in meta (uniform-QP frames broadcast the scalars) plus a validity
+        # column; padding slots shear in as all-zero -> invalid.
+        from ..ops.deblock_wave_pallas import (
+            MW_PALLAS, deblock_wavemajor_pallas)
+
+        if per_mb:
+            ab16 = ab_l.reshape(R * C, 16)
+            abc8 = ab_c.reshape(R * C, 8)
+        else:
+            ab2 = jnp.stack([alpha, beta]).astype(jnp.int32)
+            ab16 = jnp.broadcast_to(ab2[None, None, :],
+                                    (R * C, 8, 2)).reshape(R * C, 16)
+            abc2 = jnp.stack([alpha_c, beta_c]).astype(jnp.int32)
+            abc8 = jnp.broadcast_to(abc2[None, None, :],
+                                    (R * C, 4, 2)).reshape(R * C, 8)
+        ones = jnp.ones((R * C, 1), jnp.int32)
+        meta_pal = jnp.concatenate(meta_parts + [ab16, abc8, ones], axis=1)
+        Mw_p = _to_wave(meta_pal, lay["perm_to"], n_slots).reshape(
+            n_waves + 2, LW, MW_PALLAS)
+        Yw, Uw, Vw = deblock_wavemajor_pallas(
+            Yw, Uw, Vw, Mw_p,
+            jnp.asarray(lay["s_left"]), jnp.asarray(lay["s_top"]),
+            jax.default_backend() == "cpu")
+        pf = jnp.asarray(lay["perm_from"])
+        yo = jnp.take(Yw.reshape(n_slots, 256), pf, axis=0).reshape(
+            R, C, 16, 16)
+        uo = jnp.take(Uw.reshape(n_slots, 64), pf, axis=0).reshape(
+            R, C, 8, 8)
+        vo = jnp.take(Vw.reshape(n_slots, 64), pf, axis=0).reshape(
+            R, C, 8, 8)
+        return (
+            yo.transpose(0, 2, 1, 3).reshape(R * 16, C * 16),
+            uo.transpose(0, 2, 1, 3).reshape(R * 8, C * 8),
+            vo.transpose(0, 2, 1, 3).reshape(R * 8, C * 8),
+        )
+
     if per_mb:
         # Per-edge alpha/beta thresholds ride in the meta tensor too:
         # luma (8 edges x 2), chroma (4 edges x 2) -> 24 extra columns.

@@ -91,3 +91,35 @@ def test_filtering_actually_changes_smooth_edges():
     ry, _, _ = deblock_frame_np(y, u, v, 30, 30, bs_v, bs_h)
     assert not np.array_equal(ry, y.astype(np.uint8))  # the step was smoothed
     assert abs(int(ry[5, 15]) - int(ry[5, 16])) < 20
+
+
+def test_wavepallas_kernel_bit_exact():
+    """Single-launch Pallas wavefront (ops/deblock_wave_pallas.py) vs the
+    XLA wave-major scan: bit-exact in both QP modes (interpret on CPU)."""
+    import os
+
+    import numpy as np
+
+    from media_tpu.pipeline import deblock_apply as da
+
+    rng = np.random.default_rng(3)
+    R, C = 5, 7
+    y = rng.integers(0, 256, (R * 16, C * 16)).astype(np.int32)
+    u = rng.integers(0, 256, (R * 8, C * 8)).astype(np.int32)
+    v = rng.integers(0, 256, (R * 8, C * 8)).astype(np.int32)
+    bs_v = rng.integers(0, 4, (R * 4, C * 4)).astype(np.int32)
+    bs_v[:, 0] = 0
+    bs_h = rng.integers(0, 4, (R * 4, C * 4)).astype(np.int32)
+    bs_h[0, :] = 0
+    qp_map = np.clip(30 + rng.integers(-4, 5, (R, C)), 0, 51).astype(np.int32)
+    for qmap in (None, qp_map):
+        ref = [np.asarray(x) for x in da._deblock_frame_wavemajor(
+            y, u, v, 30, 30, bs_v, bs_h, R, C, qp_map=qmap)]
+        os.environ["MEDIA_TPU_DEBLOCK_KERNEL"] = "wavepallas"
+        try:
+            got = [np.asarray(x) for x in da._deblock_frame_wavemajor(
+                y, u, v, 30, 30, bs_v, bs_h, R, C, qp_map=qmap)]
+        finally:
+            del os.environ["MEDIA_TPU_DEBLOCK_KERNEL"]
+        for a, b, name in zip(ref, got, "yuv"):
+            np.testing.assert_array_equal(a, b, err_msg=name)

@@ -190,7 +190,7 @@ def main():
     # back through the TPU decode path (C++ entropy parse + device
     # IQ/IDCT/MC/deblock), and the CABAC ops stream (host Python CABAC
     # parse — the known-slow remaining piece, reported honestly).
-    dec_fps = dec_cabac_fps = None
+    dec_fps = dec_cabac_fps = dec_dev_fps = None
     try:
         from media_tpu.pipeline.decoder_tpu import TpuDecoder
 
@@ -211,6 +211,20 @@ def main():
             f.y  # deliver every frame (downloads overlap later AUs' parse)
         if got:
             dec_fps = len(got) / (time.perf_counter() - t0)
+        # Device-resident decode: frames stay in HBM for a co-located
+        # consumer (transcode/display pipeline) — the decode twin of the
+        # HBM-staged encode headline; excludes only the tunnel download.
+        d3 = TpuDecoder()
+        for au in dec_stream[:2]:
+            for f in d3.decode_annexb(au):
+                f.y
+        t0 = time.perf_counter()
+        got3 = d3.decode_annexb(rest)
+        if got3:
+            import jax as _jax
+
+            _jax.block_until_ready(got3[-1]._dev)
+            dec_dev_fps = len(got3) / (time.perf_counter() - t0)
     except Exception as e:
         print(f"# decode bench skipped: {e}", flush=True)
     try:
@@ -250,6 +264,8 @@ def main():
                                             if ops_fps else None),
                 "tunnel_fed_fps": round(tunnel_fps, 3),
                 "decode_fps_cavlc": (round(dec_fps, 3) if dec_fps else None),
+                "decode_fps_device_resident": (round(dec_dev_fps, 3)
+                                              if dec_dev_fps else None),
                 "decode_fps_cabac": (round(dec_cabac_fps, 3)
                                      if dec_cabac_fps else None),
             }

@@ -149,14 +149,15 @@ class GopDispatcher:
                 gop_frames = gops[g]
                 # Consecutive IDRs must carry distinct idr_pic_id (7.4.3);
                 # the GOP index provides a global, coordination-free seed.
-                if hasattr(session, "base"):
-                    session.base.idr_pic_id = g & 0xFFFF
-                    session.base.recon = None
-                    session.base.frame_idx = 0
+                # Full pristine reset so CBR GOPs budget independently and
+                # deterministically (codec.reset_gop_state).
+                base = session.base if hasattr(session, "base") else session
+                if hasattr(base, "reset_gop_state"):
+                    base.reset_gop_state(g)
                 else:
-                    session.idr_pic_id = g & 0xFFFF
-                    session.recon = None
-                    session.frame_idx = 0
+                    base.idr_pic_id = g & 0xFFFF
+                    base.recon = None
+                    base.frame_idx = 0
                 t1 = time.perf_counter()
                 aus = session.encode_frames(gop_frames)
                 dt = time.perf_counter() - t1

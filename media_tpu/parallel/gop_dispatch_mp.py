@@ -82,8 +82,21 @@ def _get_checked(q, procs, what: str, poll_s: float = 5.0):
 
 
 def _worker_main(widx: int, n_procs: int, coord: str | None,
-                 cfg_kwargs: dict, gop_queue, result_queue, cache_dir: str):
+                 cfg_kwargs: dict, gop_queue, result_queue, cache_dir: str,
+                 pin_cpus: bool = False):
     # Fresh JAX per process, CPU platform, shared compilation cache.
+    if pin_cpus:
+        # Give each worker a disjoint core slice so N workers measure real
+        # N-way parallelism instead of thrashing one threadpool's cores
+        # (XLA CPU intra-op threading already uses every core in a single
+        # process — the honest scaling baseline is per-core).
+        try:
+            ncpu = os.cpu_count() or 1
+            per = max(1, ncpu // n_procs)
+            cpus = set(range(widx * per, min(ncpu, (widx + 1) * per)))
+            os.sched_setaffinity(0, cpus or {widx % ncpu})
+        except OSError:
+            pass
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
@@ -101,17 +114,32 @@ def _worker_main(widx: int, n_procs: int, coord: str | None,
             result_queue.put(("log", widx, f"jax.distributed init failed: {e}"))
 
     from ..pipeline.codec import EncoderConfig, EncoderSession
+    from ..utils import yuv
 
     session = EncoderSession(EncoderConfig(**cfg_kwargs))
+    # Per-worker warmup BEFORE signalling ready: even with a pre-warmed
+    # shared cache, each process pays executable deserialization on its
+    # first dispatch (the round-4 finding: one worker's "warm" window hid
+    # ~40-60 s of first-GOP cache load). A throwaway zero-frame mini-GOP
+    # moves that cost ahead of the measured window.
+    import numpy as np
+
+    cfg = session.cfg
+    warm = yuv.pack_i420(
+        np.zeros((cfg.height, cfg.width), np.uint8),
+        np.zeros((cfg.height // 2, cfg.width // 2), np.uint8),
+        np.zeros((cfg.height // 2, cfg.width // 2), np.uint8))
+    # A full zero GOP compiles the exact shapes real GOPs use (IDR + the
+    # P-chunk sizes of this gop_size).
+    session.encode_frames([warm] * max(2, min(cfg.gop_size, 64)))
+    session.reset_gop_state(0)
     result_queue.put(("ready", widx, distributed))
     while True:
         item = gop_queue.get()
         if item is None:
             break
         g, frames = item
-        session.idr_pic_id = g & 0xFFFF
-        session.recon = None
-        session.frame_idx = 0
+        session.reset_gop_state(g)
         t0 = time.perf_counter()
         aus = session.encode_frames(frames)
         dt = time.perf_counter() - t0
@@ -122,12 +150,14 @@ def _worker_main(widx: int, n_procs: int, coord: str | None,
 def dispatch_multiprocess(cfg_kwargs: dict, frames: list, gop_size: int,
                           n_procs: int = 2, use_distributed: bool = True,
                           cache_dir: str | None = None,
-                          prewarm: bool = True):
+                          prewarm: bool = True, pin_cpus: bool = False):
     """Encode `frames` as GOP-parallel work across `n_procs` OS processes.
 
-    Returns (aus in presentation order, MpDispatchReport). cfg_kwargs must
-    describe a deterministic config (CQ) for byte-identity with a
-    sequential session.
+    Returns (aus in presentation order, MpDispatchReport). Every GOP is
+    encoded from pristine session state (reset_gop_state), so CBR configs
+    dispatch too: each GOP budgets its bitrate independently — the same
+    semantics as the reference's per-stream sessions — and the result is
+    byte-identical to a sequential session applying the same resets.
     """
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/media_tpu_jax_cache")
@@ -169,29 +199,32 @@ def dispatch_multiprocess(cfg_kwargs: dict, frames: list, gop_size: int,
     procs = [
         ctx.Process(target=_worker_main,
                     args=(i, n_procs, coord, cfg_kwargs, q_in, q_out,
-                          cache_dir))
+                          cache_dir, pin_cpus))
         for i in range(n_procs)
     ]
     for p in procs:
         p.start()
-    for g, gf in enumerate(gops):
-        q_in.put((g, gf))
-    for _ in procs:
-        q_in.put(None)
 
     results: dict[int, list] = {}
     stats: list[MpGopStats] = []
     distributed = False
     ready = done = 0
-    t_warm0 = None
-    while done < n_procs:
+    # Wait for EVERY worker's ready (post-warmup) before enqueueing any
+    # work: otherwise the first-ready worker drains the whole queue while
+    # the others are still warming, and "scaling" measures one process.
+    while ready < n_procs:
         msg = _get_checked(q_out, procs, what="worker")
         if msg[0] == "ready":
             ready += 1
             distributed = distributed or bool(msg[2])
-            if ready == n_procs:
-                t_warm0 = time.perf_counter()
-        elif msg[0] == "gop":
+    t_warm0 = time.perf_counter()
+    for g, gf in enumerate(gops):
+        q_in.put((g, gf))
+    for _ in procs:
+        q_in.put(None)
+    while done < n_procs:
+        msg = _get_checked(q_out, procs, what="worker")
+        if msg[0] == "gop":
             _, widx, g, aus, dt = msg
             results[g] = aus
             stats.append(MpGopStats(gop_index=g, n_frames=len(gops[g]),

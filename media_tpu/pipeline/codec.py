@@ -168,6 +168,29 @@ class EncoderSession:
         # frame_num is PrevRefFrameNum + 1, spec 7.4.3).
         self._display_since_idr: int | None = None
         self._ref_frame_num = 1
+        # Pristine RC state for deterministic per-GOP resets (GOP-parallel
+        # dispatch re-budgets each GOP independently — the reference's
+        # sessions are independent per stream too).
+        self._rc_init = dict(self.rc_state)
+
+    def reset_gop_state(self, idr_pic_id: int = 0) -> None:
+        """Reset to a pristine GOP boundary: the next frame is an IDR and
+        every piece of adaptive state (reference planes, rate control,
+        stream-cap high-water-mark) returns to its initial value, so a GOP
+        encoded after this call is byte-identical no matter what preceded
+        it. Used by the GOP-parallel dispatchers (thread + process) and by
+        per-worker warmup."""
+        self.recon = None
+        self.frame_idx = 0
+        self.idr_pic_id = idr_pic_id & 0xFFFF
+        self._force_idr = False
+        self._bits_hwm = None
+        self.rc_state = dict(self._rc_init)
+        self._rc_dev = None
+        self._rc_corr = 0.0
+        self._cabac_scale = 0.92
+        self._display_since_idr = None
+        self._ref_frame_num = 1
 
     def force_keyframe(self) -> None:
         """Analog of the reference's keyframe poll + ForceIntraFrame

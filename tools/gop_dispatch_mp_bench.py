@@ -45,30 +45,87 @@ def main():
     gop = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     ngops = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     nprocs = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    rc = sys.argv[6] if len(sys.argv) > 6 else "cq"
 
     from media_tpu.parallel.gop_dispatch_mp import dispatch_multiprocess
 
     cfg_kwargs = dict(width=w, height=h, qp=30, gop_size=gop, deblock=True)
+    if rc == "cbr":
+        # Product-shaped config: CBR budgeting per GOP (each GOP is an
+        # independent rate-control scope — reference sessions are
+        # per-stream too).
+        cfg_kwargs.update(rc_mode="cbr",
+                          bitrate=max(1_000_000, w * h * 30 // 8),
+                          framerate=30)
     frames = clip(w, h, gop * ngops)
 
-    aus, report = dispatch_multiprocess(cfg_kwargs, frames, gop, nprocs)
+    aus, report = dispatch_multiprocess(cfg_kwargs, frames, gop, nprocs,
+                                        pin_cpus=True)
 
-    # Byte-identity vs a sequential session with per-GOP idr_pic_id seeding.
+    # Byte-identity vs a sequential session with the same per-GOP resets.
     from media_tpu.pipeline.codec import EncoderConfig, EncoderSession
 
     seq = []
-    t_seq = time.perf_counter()
+    # Warm the sequential session identically (outside its timed wall).
     sess = EncoderSession(EncoderConfig(**cfg_kwargs))
+    sess.encode_frames(frames[:gop])
+    sess.reset_gop_state(0)
+    t_seq = time.perf_counter()
     for g in range(ngops):
-        sess.idr_pic_id = g & 0xFFFF
-        sess.recon = None
-        sess.frame_idx = 0
+        sess.reset_gop_state(g)
         seq.extend(sess.encode_frames(frames[g * gop : (g + 1) * gop]))
     seq_wall = time.perf_counter() - t_seq
     identical = len(aus) == len(seq) and all(a == b for a, b in zip(aus, seq))
+    n_frames = gop * ngops
+
+    # Per-core sequential baseline: one XLA CPU process already saturates
+    # every core with intra-op threading, so the fair multi-host proxy on
+    # one box pins the sequential run to the SAME core budget each worker
+    # got (ncpu / nprocs).
+    ncpu = os.cpu_count() or 1
+    per = max(1, ncpu // nprocs)
+    seq_wall_pinned = None
+    try:
+        old_aff = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(per)))
+        sess.reset_gop_state(0)
+        sess.encode_frames(frames[:gop])  # re-warm under the affinity
+        t_seq = time.perf_counter()
+        for g in range(ngops):
+            sess.reset_gop_state(g)
+            sess.encode_frames(frames[g * gop : (g + 1) * gop])
+        seq_wall_pinned = time.perf_counter() - t_seq
+        os.sched_setaffinity(0, old_aff)
+    except (OSError, AttributeError):
+        pass
 
     doc = {
-        "config": f"{w}x{h} gop={gop} ngops={ngops} nprocs={nprocs} CQ30",
+        "config": f"{w}x{h} gop={gop} ngops={ngops} nprocs={nprocs} "
+                  f"rc={rc}",
+        "end_to_end": {
+            # The round-4 critique: compute-sum efficiency oversold the
+            # result. These are wall-clock throughputs: mp_warm excludes
+            # only process startup + per-worker warmup (every worker
+            # signalled ready); mp_total is everything including spawn.
+            # Workers are pinned to disjoint core slices; the per-core
+            # sequential baseline uses the same core budget one worker got
+            # (a single XLA process otherwise saturates every core, so the
+            # unpinned comparison measures core saturation, not dispatch).
+            "fps_sequential_all_cores": round(n_frames / seq_wall, 3),
+            "fps_sequential_per_core_budget": (
+                round(n_frames / seq_wall_pinned, 3)
+                if seq_wall_pinned else None),
+            "fps_mp_warm_wall": round(n_frames / report.warm_wall_s, 3),
+            "fps_mp_total_wall": round(n_frames / report.wall_s, 3),
+            "speedup_vs_per_core_sequential": (
+                round(seq_wall_pinned / report.warm_wall_s, 3)
+                if seq_wall_pinned else None),
+            "scaling_efficiency_per_core": (
+                round(seq_wall_pinned / report.warm_wall_s / nprocs, 3)
+                if seq_wall_pinned else None),
+            "speedup_vs_all_core_sequential": round(
+                seq_wall / report.warm_wall_s, 3),
+        },
         "byte_identical_to_sequential": identical,
         "jax_distributed_initialized": report.distributed,
         "prewarm_s": round(report.prewarm_s, 2),

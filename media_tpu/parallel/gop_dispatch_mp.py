@@ -102,7 +102,12 @@ def _worker_main(widx: int, n_procs: int, coord: str | None,
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    # NOTE: do NOT also call jax.config.update("jax_platforms", ...) here —
+    # the config update changes the persistent-compilation-cache fingerprint,
+    # so workers recompile everything fresh instead of hitting the shared
+    # cache, and (measured on this host) the fresh CPU executables run ~4x
+    # slower than the cached ones. The environment variable above, set
+    # before the import, selects the platform with the cache intact.
     distributed = False
     if coord is not None:
         try:

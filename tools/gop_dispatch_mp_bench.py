@@ -73,7 +73,9 @@ def main():
     t_seq = time.perf_counter()
     for g in range(ngops):
         sess.reset_gop_state(g)
+        t_g = time.perf_counter()
         seq.extend(sess.encode_frames(frames[g * gop : (g + 1) * gop]))
+        print(f"# seq gop {g}: {time.perf_counter() - t_g:.2f}s", flush=True)
     seq_wall = time.perf_counter() - t_seq
     identical = len(aus) == len(seq) and all(a == b for a, b in zip(aus, seq))
     n_frames = gop * ngops

@@ -28,10 +28,13 @@ class _HevcSessionAdapter:
     """EncoderSession-shaped wrapper around the intra-only HEVC skeleton
     (media_tpu/hevc): I420 bytes in, Annex-B HEVC AU out."""
 
-    def __init__(self, width: int, height: int, qp: int):
+    def __init__(self, width: int, height: int, qp: int,
+                 bitrate: int = 0, framerate: int = 30):
         from ..hevc import HevcEncoderSession
 
         self._s = HevcEncoderSession(width, height, qp)
+        if bitrate > 0:
+            self._s.enable_cbr(bitrate, framerate)
         self.width, self.height = width, height
 
     def force_keyframe(self):  # every frame is intra already
@@ -123,9 +126,11 @@ class VideoEncoder:
         if self._codec == CodecFormat.H265:
             # Format-2 slot (reference: VideoEncoderNetint H.265 mode,
             # VideoCodecApi.cpp:23-38): intra-only skeleton session.
-            self._session = _HevcSessionAdapter(p.width, p.height, qp)
-            log.info("init HEVC %dx%d qp=%d (intra-only)", p.width,
-                     p.height, qp)
+            self._session = _HevcSessionAdapter(p.width, p.height, qp,
+                                                bitrate=p.bitrate,
+                                                framerate=p.framerate)
+            log.info("init HEVC %dx%d qp0=%d cbr=%d (intra-only)", p.width,
+                     p.height, qp, p.bitrate)
             return EncoderRetCode.VIDEO_ENCODER_SUCCESS
         cfg = self._reference_policy_config(p, qp)
         self._session = self._place_session(cfg, p)

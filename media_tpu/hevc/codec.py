@@ -629,6 +629,27 @@ class HevcEncoderSession:
         self.pps = S.HevcPPS(init_qp=qp)
         self._sent_headers = False
         self.recon = None
+        self._rc = None
+
+    def enable_cbr(self, bitrate: int, framerate: int) -> None:
+        """All-intra CBR: the same virtual-buffer + complexity feedback as
+        the H.264 session's rate loop, applied per frame via the slice QP
+        (slice_qp_delta carries it; init_qp stays put). Honors the bitrate
+        property instead of degrading to fixed QP — the reference's
+        format-2 slot is a CBR encoder (VideoEncoderNetint.cpp:107-117)."""
+        self._rc = {"target": bitrate / max(framerate, 1), "buf": 0.0,
+                    "cplx": None}
+
+    def _rc_update(self, bits: int) -> None:
+        rc = self._rc
+        qstep = 0.625 * 2.0 ** (self.qp / 6.0)
+        sample = bits * qstep
+        rc["cplx"] = (sample if rc["cplx"] is None
+                      else 0.7 * rc["cplx"] + 0.3 * sample)
+        rc["buf"] += bits - rc["target"]
+        adj = max(rc["target"] - 0.35 * rc["buf"], 0.25 * rc["target"])
+        want = min(max(rc["cplx"] / adj, 0.625), 1024.0)
+        self.qp = int(np.clip(round(6.0 * np.log2(want / 0.625)), 10, 49))
 
     def _headers(self) -> bytes:
         out = b""
@@ -655,6 +676,8 @@ class HevcEncoderSession:
         nal = S.wrap_hevc_nal(S.NAL_IDR_W_RADL, w.get_bytes() + payload)
         hdr = b"" if self._sent_headers else self._headers()
         self._sent_headers = True
+        if self._rc is not None:
+            self._rc_update(len(nal) * 8)
         return hdr + nal
 
 

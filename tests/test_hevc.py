@@ -137,3 +137,38 @@ def test_hevc_angular_modes_used():
     # decode to recover the modes
     yv, uv, vv = hc.decode_slice_data(payload, 0, 64, 64, 28)
     np.testing.assert_array_equal(np.clip(recon[0], 0, 255), yv)
+
+
+def test_hevc_cbr_honors_bitrate():
+    """Format-2 CBR: the intra-only HEVC session adapts the slice QP per
+    frame to hit the bitrate property instead of degrading to fixed QP
+    (reference: the Netint H.265 slot defaults to 3 Mbps CBR)."""
+    import numpy as np
+
+    from media_tpu.hevc import HevcEncoderSession
+    from media_tpu.hevc.ref_decoder import HevcOracleDecoder
+
+    rng = np.random.default_rng(0)
+    w, h, fps = 96, 64, 30
+    bitrate = 600_000
+    s = HevcEncoderSession(w, h, qp=30)
+    s.enable_cbr(bitrate, fps)
+    dec = HevcOracleDecoder()
+    base = rng.integers(0, 256, (h + 16, w + 16)).astype(np.float64)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    sizes = []
+    for t in range(12):
+        y = base[t : t + h, t : t + w].astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 40).astype(np.uint8)
+        v = (y[::2, ::2] // 3 + 60).astype(np.uint8)
+        au = s.encode_frame(y, u, v)
+        sizes.append(len(au) * 8)
+        frames = dec.decode_annexb(au)
+        # self-decodable at every adapted QP (recon matches decoder)
+        np.testing.assert_array_equal(
+            np.asarray(frames[0].y), np.asarray(s.recon[0]))
+    target = bitrate / fps
+    steady = sizes[4:]
+    avg = sum(steady) / len(steady)
+    assert abs(avg - target) / target < 0.25, (avg, target, sizes)

@@ -198,13 +198,13 @@ def main():
         idr0 = sess.encode_frame(yuv.pack_i420(*frames[0]))
         dec_stream = [idr0] + list(aus)
         d = TpuDecoder()
-        for au in dec_stream[:2]:
+        for au in dec_stream[:3]:
             for f in d.decode_annexb(au):
-                f.y  # compile both paths, incl. the download
+                f.y  # compile all paths (I, sparse P, download)
         # Whole remaining stream in ONE call: the decoder pipelines host
         # entropy parse against device recon across AUs; materializing the
         # last frame forces completion.
-        rest = b"".join(dec_stream[2:])
+        rest = b"".join(dec_stream[3:])
         t0 = time.perf_counter()
         got = d.decode_annexb(rest)
         for f in got:
@@ -215,7 +215,7 @@ def main():
         # consumer (transcode/display pipeline) — the decode twin of the
         # HBM-staged encode headline; excludes only the tunnel download.
         d3 = TpuDecoder()
-        for au in dec_stream[:2]:
+        for au in dec_stream[:3]:
             for f in d3.decode_annexb(au):
                 f.y
         t0 = time.perf_counter()

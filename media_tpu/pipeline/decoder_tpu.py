@@ -845,10 +845,12 @@ class TpuDecoder:
                 f["cac_levels"].reshape(n, 120),
             ], axis=1).reshape(-1)
             nz = np.flatnonzero(flat)
-            # ONE fixed cap per geometry (not nnz-bucketed: a per-frame
-            # bucket flip would recompile the recon executable mid-stream);
-            # denser frames take the dense path.
-            cap = 131072
+            # ONE cap per geometry (not nnz-bucketed: a per-frame bucket
+            # flip would recompile the recon executable mid-stream), sized
+            # at 12.5% density — comfortably above product bitrates (a
+            # 1080p frame at 8 Mbps/30 fps carries well under 300k coded
+            # coefficients). Denser frames take the dense path.
+            cap = max(65536, (n * 384) // 8)
             i16_ok = (len(nz) == 0
                       or (abs(int(flat[nz].max(initial=0))) < 32768
                           and abs(int(flat[nz].min(initial=0))) < 32768))
